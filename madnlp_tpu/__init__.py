@@ -1,0 +1,11 @@
+"""madnlp_tpu — a TPU-native nonlinear programming solver built in JAX.
+
+Filter line-search interior-point method (Ipopt-class) with the capability
+set of MadNLP.jl, re-designed TPU-first: static-shape masked vectorization,
+jittable pure-function iteration steps, blocked MXU factorizations, and
+`shard_map`/`vmap` scaling for structured and batched problems.
+"""
+
+from . import _config  # noqa: F401  (enables x64 by default)
+
+__version__ = "0.1.0"

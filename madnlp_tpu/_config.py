@@ -1,0 +1,18 @@
+"""Global JAX configuration for madnlp_tpu.
+
+The interior-point method targets tol=1e-8 by default (same default as the
+reference MadNLP.jl, src/IPM/options.jl:27), which requires float64
+arithmetic for the KKT residuals.  On TPU float64 is emulated by XLA; the
+performance-oriented paths (condensed KKT + mixed-precision iterative
+refinement) run the factorization in float32 and refine in float64.
+
+Importing this module enables x64 unless the user opts out via the
+environment variable ``MADNLP_TPU_NO_X64=1``.
+"""
+
+import os
+
+import jax
+
+if os.environ.get("MADNLP_TPU_NO_X64", "0") != "1":
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,296 @@
+"""Solver options.
+
+The option names, defaults, and semantics mirror the reference
+(``/root/reference/src/IPM/options.jl:21-204``, Ipopt-compatible).  Unlike
+the reference — which routes options through three mutable structs at
+runtime — options here are a single *frozen, hashable* dataclass: in JAX the
+whole configuration must be static at trace time, and a hashable options
+object lets the jitted solver be cached per configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class KKTSystem(enum.Enum):
+    """KKT formulation (reference: src/KKT/KKTsystem.jl:10-79)."""
+
+    DENSE = "dense"                    # DenseKKTSystem: reduced augmented, dense
+    DENSE_CONDENSED = "dense_condensed"  # DenseCondensedKKTSystem
+    SPARSE = "sparse"                  # SparseKKTSystem (static-map sparse assembly)
+    SPARSE_CONDENSED = "sparse_condensed"  # Lifted-KKT / condensed (accelerator path)
+    SCALED_SPARSE = "scaled_sparse"    # K2.5 scaling
+    SPARSE_UNREDUCED = "sparse_unreduced"
+    SCHUR = "schur"                    # two-stage / block-arrowhead decomposition
+
+
+class LinearSolver(enum.Enum):
+    """Backend used to factorize the (assembled) KKT matrix.
+
+    TPU-native equivalents of the reference's LAPACK/MUMPS/cuDSS backends
+    (SURVEY.md §2.4): dense factorizations through XLA linalg and custom
+    blocked kernels; no FFI sparse solvers exist on TPU, so sparse paths
+    condense to SPD systems solved by (block-)Cholesky.
+    """
+
+    LDL = "ldl"            # blocked dense LDLᵀ (no pivoting) with inertia
+    CHOLESKY = "cholesky"  # XLA Cholesky; inertia = success ⇒ (n, 0, 0)
+    LU = "lu"              # XLA LU; no inertia
+    QR = "qr"              # XLA QR; no inertia
+    EVD = "evd"            # XLA eigh; exact inertia (robust fallback)
+
+
+class InertiaCorrection(enum.Enum):
+    """Inertia correction strategy (reference: src/IPM/solver.jl:611-783)."""
+
+    AUTO = "auto"
+    BASED = "based"
+    FREE = "free"
+    IGNORE = "ignore"
+
+
+class FixedVariableTreatment(enum.Enum):
+    """reference: src/Callbacks/nlpmodels.jl:266-330 (MakeParameter), RelaxBound."""
+
+    MAKE_PARAMETER = "make_parameter"
+    RELAX_BOUND = "relax_bound"
+
+
+class EqualityTreatment(enum.Enum):
+    """reference: src/Callbacks/nlpmodels.jl:83-105."""
+
+    ENFORCE = "enforce"
+    RELAX = "relax"
+
+
+class HessianApproximation(enum.Enum):
+    """reference: src/quasi_newton.jl."""
+
+    EXACT = "exact"
+    BFGS = "bfgs"
+    DAMPED_BFGS = "damped_bfgs"
+    COMPACT_LBFGS = "compact_lbfgs"
+
+
+class BFGSInitStrategy(enum.Enum):
+    SCALAR1 = 1
+    SCALAR2 = 2
+    SCALAR3 = 3
+    SCALAR4 = 4
+    CONSTANT = 5
+
+
+class BarrierUpdate(enum.Enum):
+    """reference: src/IPM/barrier.jl — monotone (Fiacco-McCormick), adaptive."""
+
+    MONOTONE = "monotone"
+    QUALITY_FUNCTION = "quality_function"
+    LOQO = "loqo"
+
+
+class DualInitialization(enum.Enum):
+    SET_ZERO = "set_zero"
+    LEAST_SQUARES = "least_squares"
+
+
+class PrintLevel(enum.IntEnum):
+    TRACE = 1
+    DEBUG = 2
+    INFO = 3
+    NOTICE = 4
+    WARN = 5
+    ERROR = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class QuasiNewtonOptions:
+    """reference: src/quasi_newton.jl:8-46."""
+
+    init_strategy: BFGSInitStrategy = BFGSInitStrategy.SCALAR1
+    max_history: int = 6
+    init_value: float = 1.0
+    sigma_min: float = 1e-8
+    sigma_max: float = 1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class RichardsonOptions:
+    """Iterative refinement (reference: src/LinearSolvers/backsolve.jl:1-25)."""
+
+    max_iter: int = 10
+    tol: Optional[float] = None              # default: opts.tol ** (5/4)
+    acceptable_tol: Optional[float] = None   # default: opts.tol ** (5/8)
+
+
+@dataclasses.dataclass(frozen=True)
+class BarrierOptions:
+    """Barrier strategy parameters (reference: src/IPM/types.jl:58-146)."""
+
+    mu_init: float = 1e-1
+    mu_min: Optional[float] = None    # default: min(1e-4, tol)/(barrier_tol_factor+1)
+    mu_max: float = 1e5
+    mu_linear_decrease_factor: float = 0.2
+    mu_superlinear_decrease_power: float = 1.5
+    # adaptive (quality function) options
+    sigma_min: float = 1e-6
+    sigma_max: float = 100.0
+    sigma_tol: float = 1e-2
+    max_gs_iter: int = 8
+    # LOQO options
+    gamma: float = 0.1
+    r: float = 0.95
+    globalization: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MadNLPOptions:
+    """Interior-point options — names and defaults follow the reference table
+    (src/IPM/options.jl:21-116) so they are Ipopt-compatible."""
+
+    # Primary
+    tol: float = 1e-8
+    kkt_system: Optional[KKTSystem] = None        # None -> smart preset
+    linear_solver: Optional[LinearSolver] = None  # None -> smart preset
+
+    # Output
+    print_level: PrintLevel = PrintLevel.WARN
+    output_file: str = ""
+    file_print_level: PrintLevel = PrintLevel.INFO
+
+    # Termination
+    acceptable_tol: float = 1e-6
+    acceptable_iter: int = 15
+    diverging_iterates_tol: float = 1e20
+    max_iter: int = 3000
+    max_wall_time: float = 1e6
+    s_max: float = 100.0
+
+    # NLP
+    kappa_d: float = 1e-5
+    fixed_variable_treatment: Optional[FixedVariableTreatment] = None
+    equality_treatment: Optional[EqualityTreatment] = None
+    bound_relax_factor: float = 1e-8
+    jacobian_constant: bool = False
+    hessian_constant: bool = False
+    hessian_approximation: HessianApproximation = HessianApproximation.EXACT
+    quasi_newton_options: QuasiNewtonOptions = QuasiNewtonOptions()
+    inertia_correction_method: InertiaCorrection = InertiaCorrection.AUTO
+    inertia_free_tol: float = 0.0
+    default_primal_regularization: float = 0.0
+    default_dual_regularization: float = 0.0
+
+    # Initialization
+    dual_initialized: bool = False
+    dual_initialization_method: Optional[DualInitialization] = None
+    constr_mult_init_max: float = 1e3
+    bound_push: float = 1e-2
+    bound_fac: float = 1e-2
+    nlp_scaling: bool = True
+    nlp_scaling_max_gradient: float = 100.0
+
+    # Hessian perturbation (inertia-correction ladder, solver.jl:636-666)
+    min_hessian_perturbation: float = 1e-20
+    first_hessian_perturbation: float = 1e-4
+    max_hessian_perturbation: float = 1e20
+    perturb_inc_fact_first: float = 1e2
+    perturb_inc_fact: float = 8.0
+    perturb_dec_fact: float = 1.0 / 3.0
+    jacobian_regularization_exponent: float = 0.25
+    jacobian_regularization_value: float = 1e-8
+
+    # Restoration
+    soft_resto_pderror_reduction_factor: float = 0.9999
+    required_infeasibility_reduction: float = 0.9
+
+    # Line search
+    obj_max_inc: float = 5.0
+    max_soc: int = 4
+    alpha_min_frac: float = 0.05
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    eta_phi: float = 1e-4
+    kappa_soc: float = 0.99
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-5
+    delta: float = 1.0
+    kappa_sigma: float = 1e10
+    barrier_tol_factor: float = 10.0
+    rho: float = 1000.0
+
+    # Barrier
+    barrier: BarrierUpdate = BarrierUpdate.MONOTONE
+    barrier_options: BarrierOptions = BarrierOptions()
+    tau_min: float = 0.99
+
+    # Iterative refinement
+    richardson: RichardsonOptions = RichardsonOptions()
+
+    # madnlp_tpu-specific
+    dtype: str = "float64"         # "float64" | "float32" (factorization dtype)
+    filter_capacity: int = 128     # filter kept as a fixed-capacity array (jit)
+    ldl_block_size: int = 64       # block size of the blocked LDLᵀ kernel
+
+    # -- derived helpers --------------------------------------------------
+    def resolve(self, *, dense_callback: bool, m: int) -> "MadNLPOptions":
+        """Fill in smart presets (reference: src/IPM/options.jl:209-228 and
+        the GPU preset flip in lib/MadNLPGPU/ext/MadNLPGPUCUDAExt/cuda.jl:5-22)."""
+        kkt = self.kkt_system
+        if kkt is None:
+            kkt = KKTSystem.DENSE_CONDENSED if dense_callback else KKTSystem.SPARSE
+        lin = self.linear_solver
+        if lin is None:
+            lin = (
+                LinearSolver.CHOLESKY
+                if kkt in (KKTSystem.DENSE_CONDENSED, KKTSystem.SPARSE_CONDENSED)
+                else LinearSolver.LDL
+            )
+        fixed = self.fixed_variable_treatment
+        if fixed is None:
+            fixed = (
+                FixedVariableTreatment.RELAX_BOUND
+                if kkt == KKTSystem.SPARSE_CONDENSED
+                else FixedVariableTreatment.MAKE_PARAMETER
+            )
+        eq = self.equality_treatment
+        if eq is None:
+            eq = (
+                EqualityTreatment.RELAX
+                if kkt == KKTSystem.SPARSE_CONDENSED
+                else EqualityTreatment.ENFORCE
+            )
+        dual_init = self.dual_initialization_method
+        if dual_init is None:
+            dual_init = (
+                DualInitialization.SET_ZERO
+                if kkt == KKTSystem.SPARSE_CONDENSED
+                else DualInitialization.LEAST_SQUARES
+            )
+        return dataclasses.replace(
+            self,
+            kkt_system=kkt,
+            linear_solver=lin,
+            fixed_variable_treatment=fixed,
+            equality_treatment=eq,
+            dual_initialization_method=dual_init,
+        )
+
+    @property
+    def mu_min(self) -> float:
+        mu_min = self.barrier_options.mu_min
+        if mu_min is None:
+            # reference: src/IPM/types.jl:72-74
+            mu_min = min(1e-4, self.tol) / (self.barrier_tol_factor + 1.0)
+        return mu_min
+
+    @property
+    def richardson_tol(self) -> float:
+        t = self.richardson.tol
+        return self.tol ** 1.25 if t is None else t
+
+    @property
+    def richardson_acceptable_tol(self) -> float:
+        t = self.richardson.acceptable_tol
+        return self.tol ** 0.625 if t is None else t
