@@ -8,4 +8,27 @@ jittable pure-function iteration steps, blocked MXU factorizations, and
 
 from . import _config  # noqa: F401  (enables x64 by default)
 
+from .models.model import DenseNLPModel, SparseNLPModel, NLPModel, create_model
+from .utils.options import (
+    MadNLPOptions,
+    KKTSystem,
+    LinearSolver,
+    InertiaCorrection,
+    BarrierUpdate,
+    FixedVariableTreatment,
+    EqualityTreatment,
+    HessianApproximation,
+    PrintLevel,
+)
+from .utils.status import Status, is_success
+from .ipm.solver import MadNLPSolver, ExecutionStats, madnlp
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "DenseNLPModel", "SparseNLPModel", "NLPModel", "create_model",
+    "MadNLPOptions", "KKTSystem", "LinearSolver", "InertiaCorrection",
+    "BarrierUpdate", "FixedVariableTreatment", "EqualityTreatment",
+    "HessianApproximation", "PrintLevel", "Status", "is_success",
+    "MadNLPSolver", "ExecutionStats", "madnlp",
+]

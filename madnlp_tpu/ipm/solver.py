@@ -1,0 +1,227 @@
+"""Solver driver — the analogue of ``madnlp`` / ``solve!``
+(``/root/reference/src/IPM/solver.jl:9-12,131-209``).
+
+Two execution modes:
+
+* **Hosted loop** (default, for interactive use): a Python outer loop calls
+  the jitted per-phase steps, enabling per-iteration logging, wall-time
+  checks and user callbacks.  One host sync per IPM iteration — negligible
+  vs. a factorization.
+* **Fully-jitted solve** (:meth:`MadNLPSolver.solve_jitted`): the entire
+  state machine runs inside a single ``lax.while_loop`` — zero host round
+  trips; this is the form used for benchmarking, ``vmap`` batching over
+  problem instances, and sharded execution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import DenseNLPModel, SparseNLPModel
+from ..utils.options import MadNLPOptions, PrintLevel
+from ..utils.status import Status, get_status_output, is_success
+from . import kernels as K
+from .problem import build_problem
+from .state import State
+from .step import Kernel, _i32
+
+_ACTIVE = (int(Status.REGULAR), int(Status.RESTORE), int(Status.ROBUST))
+
+
+@dataclasses.dataclass
+class ExecutionStats:
+    """Result container (reference: MadNLPExecutionStats, src/IPM/utils.jl)."""
+
+    status: Status
+    solution: np.ndarray
+    objective: float
+    constraints: np.ndarray
+    multipliers: np.ndarray
+    multipliers_L: np.ndarray
+    multipliers_U: np.ndarray
+    iter: int
+    counters: dict
+    dual_feas: float
+    primal_feas: float
+    solve_time: float
+
+    def __repr__(self):
+        return (
+            f"ExecutionStats(status={self.status.name}, objective={self.objective:.8g}, "
+            f"iter={self.iter}, primal_feas={self.primal_feas:.2e}, "
+            f"dual_feas={self.dual_feas:.2e}, time={self.solve_time:.3f}s)"
+        )
+
+
+class MadNLPSolver:
+    def __init__(self, model, options: Optional[MadNLPOptions] = None, **kwargs):
+        if isinstance(model, SparseNLPModel):
+            # dense path for now; the sparse/condensed KKT path consumes
+            # SparseNLPModel natively (see kkt/sparse_condensed.py)
+            model = model.to_dense()
+        self.model: DenseNLPModel = model
+        opts = options if options is not None else MadNLPOptions(**kwargs)
+        self.opts = opts.resolve(dense_callback=model.is_dense, m=model.m)
+        self.prob = build_problem(model, self.opts)
+        self.kernel = Kernel(self.prob, self.opts)
+        self._init_fn = jax.jit(self.kernel.initialize)
+        self._regular = jax.jit(self.kernel.regular_step)
+        self._restore = jax.jit(self.kernel.restore_step)
+        self._robust = jax.jit(self.kernel.robust_step)
+        self._solve_jit = None
+        self.state: Optional[State] = None
+
+    # ------------------------------------------------------------------
+
+    def _print(self, level, msg):
+        if self.opts.print_level <= level:
+            print(msg)
+
+    def _print_iter(self, st: State, is_resto: bool):
+        if self.opts.print_level > PrintLevel.INFO:
+            return
+        k = int(st.k)
+        if k % 10 == 0:
+            print(
+                "iter    objective    inf_pr   inf_du inf_compl lg(mu) lg(rg) "
+                "alpha_pr ls"
+            )
+        obj_scale = float(st.scal.obj_scale)
+        if is_resto:
+            inf_pr, inf_du = float(st.RR.inf_pr_R), float(st.RR.inf_du_R)
+            inf_compl = float(st.RR.inf_compl_R)
+            lg_mu = float(np.log10(float(st.RR.mu_R)))
+        else:
+            inf_pr, inf_du = float(st.inf_pr), float(st.inf_du)
+            inf_compl = float(st.inf_compl)
+            lg_mu = float(np.log10(float(st.mu)))
+        del_w = float(st.del_w)
+        rg = "   - " if del_w == 0 else f"{np.log10(del_w):5.1f}"
+        ftype = K.FTYPE_CHARS.get(int(st.ftype), " ")
+        print(
+            f"{k:4d}{'r' if is_resto else ' '}"
+            f"{float(st.obj_val) * self.prob.sign / obj_scale: 10.7e} "
+            f"{inf_pr:6.2e} {inf_du:6.2e} {inf_compl:7.2e} {lg_mu:5.1f} "
+            f"{rg} {float(st.alpha):6.2e} {int(st.l_cnt):2d}{ftype}"
+        )
+
+    # ------------------------------------------------------------------
+
+    def solve(self, max_wall_time: Optional[float] = None) -> ExecutionStats:
+        t0 = time.time()
+        max_wt = max_wall_time if max_wall_time is not None else self.opts.max_wall_time
+        st = self._init_fn()
+        status = int(st.status)
+        while status in _ACTIVE:
+            is_resto = status == int(Status.ROBUST)
+            self._print_iter(st, is_resto)
+            if status == int(Status.REGULAR):
+                st = self._regular(st)
+            elif status == int(Status.RESTORE):
+                st = self._restore(st)
+            else:
+                st = self._robust(st)
+            status = int(st.status)  # host sync (once per iteration)
+            if time.time() - t0 > max_wt and status in _ACTIVE:
+                status = int(Status.MAXIMUM_WALLTIME_EXCEEDED)
+                st = st._replace(status=_i32(status))
+        self.state = st
+        stats = self._stats(st, time.time() - t0)
+        if self.opts.print_level <= PrintLevel.NOTICE:
+            print(f"EXIT: {get_status_output(stats.status, self.opts.tol, self.opts.acceptable_tol)}")
+        return stats
+
+    def solve_jitted(self, max_iter_hint: Optional[int] = None) -> ExecutionStats:
+        """Whole solve as one XLA computation (no host round trips)."""
+        t0 = time.time()
+        if self._solve_jit is None:
+            kern = self.kernel
+
+            def whole(_):
+                st = kern.initialize()
+
+                def cond(st):
+                    return (
+                        (st.status == _i32(Status.REGULAR))
+                        | (st.status == _i32(Status.RESTORE))
+                        | (st.status == _i32(Status.ROBUST))
+                    )
+
+                def body(st):
+                    branch = jnp.where(
+                        st.status == _i32(Status.REGULAR), 0,
+                        jnp.where(st.status == _i32(Status.RESTORE), 1, 2),
+                    )
+                    return jax.lax.switch(
+                        branch,
+                        [kern.regular_step, kern.restore_step, kern.robust_step],
+                        st,
+                    )
+
+                return jax.lax.while_loop(cond, body, st)
+
+            self._solve_jit = jax.jit(whole)
+        st = self._solve_jit(0)
+        st.status.block_until_ready()
+        self.state = st
+        return self._stats(st, time.time() - t0)
+
+    # ------------------------------------------------------------------
+
+    def _stats(self, st: State, solve_time: float) -> ExecutionStats:
+        p = self.prob
+        # unscale (utils.jl:8-65 + unpack_* in nlpmodels.jl)
+        obj_scale = float(st.scal.obj_scale)
+        x = np.asarray(st.x[: p.n])
+        con_scale = np.asarray(st.scal.con_scale)
+        y = np.asarray(st.y) * con_scale * (p.sign / obj_scale)
+        zl = np.asarray(st.zl[: p.n]) / obj_scale
+        zu = np.asarray(st.zu[: p.n]) / obj_scale
+        if p.fixed_mask.any():
+            # recover bound multipliers on fixed variables
+            # (update_z!, nlpmodels.jl:1075-1087)
+            xj = jnp.asarray(x)
+            g = np.asarray(p.model.grad(xj))
+            if p.m > 0:
+                jtv = np.asarray(p.model.jac(xj)).T @ (np.asarray(st.y) * con_scale)
+                g = g + jtv
+            fm = p.fixed_mask
+            zl[fm] = np.maximum(0.0, p.sign * g[fm])
+            zu[fm] = np.maximum(0.0, -p.sign * g[fm])
+        cons = np.asarray(p.model.cons(jnp.asarray(x))) if p.m else np.zeros(0)
+        counters = {
+            "k": int(st.k),
+            "obj_cnt": int(st.obj_cnt),
+            "grad_cnt": int(st.grad_cnt),
+            "con_cnt": int(st.con_cnt),
+            "jac_cnt": int(st.jac_cnt),
+            "hess_cnt": int(st.hess_cnt),
+            "factorization_cnt": int(st.factorization_cnt),
+            "backsolve_cnt": int(st.backsolve_cnt),
+            "t": int(st.t_cnt),
+        }
+        return ExecutionStats(
+            status=Status(int(st.status)),
+            solution=x,
+            objective=p.sign * float(st.obj_val) / obj_scale,
+            constraints=cons,
+            multipliers=y,
+            multipliers_L=zl,
+            multipliers_U=zu,
+            iter=int(st.k),
+            counters=counters,
+            dual_feas=float(st.inf_du),
+            primal_feas=float(st.inf_pr),
+            solve_time=solve_time,
+        )
+
+
+def madnlp(model, **kwargs) -> ExecutionStats:
+    """Build a solver and run it — mirror of ``madnlp(nlp; kwargs...)``."""
+    return MadNLPSolver(model, **kwargs).solve()

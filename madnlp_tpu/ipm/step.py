@@ -1,0 +1,1363 @@
+"""The interior-point iteration kernel — pure functions ``State -> State``.
+
+Faithful re-derivation of the reference's filter line-search IPM
+(``/root/reference/src/IPM/solver.jl``) in jit-compatible form:
+
+* ``regular_step``  = one iteration of ``regular!``  (solver.jl:216-298)
+* ``restore_step``  = one iteration of ``restore!``  (solver.jl:300-411)
+* ``robust_step``   = one iteration of ``robust!``   (solver.jl:413-545)
+
+The three-phase state machine is encoded in ``state.status`` (same integer
+codes as the reference's ``Status`` enum); variable-trip inner loops
+(inertia-correction ladder, backtracking line search, second-order
+correction, monotone barrier decrease) are ``lax.while_loop``s, so a whole
+IPM iteration is a single jittable function of the state pytree — the
+foundation for fully-jitted solves, ``vmap`` batching, and sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kkt.dense import DenseKKT, KKTContext
+from ..kkt.vec import KKTVec, kkt_zeros
+from ..utils.options import (
+    DualInitialization,
+    InertiaCorrection,
+    MadNLPOptions,
+)
+from ..utils.status import Status
+from . import kernels as K
+from .problem import Problem, Scaling
+from .state import State, RRState, state_zeros
+
+# Short aliases for status codes (traced as int32)
+S = Status
+
+
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+class Kernel:
+    """Closes over the static problem/options; exposes pure step functions."""
+
+    def __init__(self, prob: Problem, opts: MadNLPOptions, kkt=None):
+        self.prob = prob
+        self.opts = opts
+        self.kkt = kkt if kkt is not None else DenseKKT(prob, opts)
+        p = prob
+        self.lb = jnp.asarray(p.lb_mask)
+        self.ub = jnp.asarray(p.ub_mask)
+        self.llb = jnp.asarray(p.llb_mask)
+        self.uub = jnp.asarray(p.uub_mask)
+        # resolve inertia method (IPM.jl:203-213: Auto -> Based if the linear
+        # solver exposes inertia, else Free)
+        m = opts.inertia_correction_method
+        if m == InertiaCorrection.AUTO:
+            m = (
+                InertiaCorrection.BASED
+                if self.kkt.has_inertia()
+                else InertiaCorrection.FREE
+            )
+        self.inertia_method = m
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def slacks(self, x, xl, xu):
+        return K.slacks(x, xl, xu, self.lb, self.ub)
+
+    def _sd_sc(self, st: State):
+        p, o = self.prob, self.opts
+        sd = K.get_sd(st.y, st.zl, st.zu, self.lb, self.ub, p.m, p.nlb, p.nub, o.s_max)
+        sc = K.get_sc(st.zl, st.zu, self.lb, self.ub, p.nlb, p.nub, o.s_max)
+        return sd, sc
+
+    def _residuals(self, st: State, sd, sc):
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+        inf_pr = K.get_inf_pr(st.c)
+        inf_du = K.get_inf_du(st.f, st.zl, st.zu, st.jacl, sd)
+        inf_compl = K.get_inf_compl(dl, du_, st.zl, st.zu, self.lb, self.ub, 0.0, sc)
+        return inf_pr, inf_du, inf_compl
+
+    def eval_obj(self, st, w):
+        return self.prob.eval_obj(st.scal, w)
+
+    def eval_cons(self, st, w):
+        return self.prob.eval_cons(st.scal, w)
+
+    # ------------------------------------------------------------------
+    # initialization (solver.jl:14-77 + nlpmodels.jl:593-636)
+    # ------------------------------------------------------------------
+
+    def initialize(self) -> State:
+        p, o = self.prob, self.opts
+        st = state_zeros(p.nw, p.m, p.n, o.filter_capacity)
+
+        xl = jnp.asarray(p.xl0)
+        xu = jnp.asarray(p.xu0)
+        # relaxed-equality slacks get one extra relaxation (nlpmodels.jl:576)
+        if p.eqrelax_mask.any():
+            er = jnp.asarray(p.eqrelax_mask)
+            xl2, xu2 = K.set_initial_bounds(xl, xu, self.lb, self.ub, o.bound_relax_factor)
+            xl = jnp.where(er, xl2, xl)
+            xu = jnp.where(er, xu2, xu)
+        xl, xu = K.set_initial_bounds(xl, xu, self.lb, self.ub, o.bound_relax_factor)
+
+        # variable part init
+        x0 = jnp.asarray(p.model.x0)
+        if p.fixed_mask.any():
+            x0 = jnp.where(jnp.asarray(p.fixed_mask), jnp.asarray(p.xl_fixed), x0)
+        xv = K.initialize_variables(
+            x0, xl[: p.n], xu[: p.n], self.lb[: p.n], self.ub[: p.n],
+            o.bound_push, o.bound_fac,
+        )
+
+        # slack init from unscaled constraint values (nlpmodels.jl:626-636)
+        unit = Scaling(jnp.ones(()), jnp.ones((p.m,)))
+        g0 = p.model.cons(xv) if p.m else jnp.zeros((0,))
+        s0 = p.gather_ineq(g0)
+        s0 = K.initialize_variables(
+            s0, xl[p.n :], xu[p.n :], self.lb[p.n :], self.ub[p.n :],
+            o.bound_push, o.bound_fac,
+        )
+        w0 = jnp.concatenate([xv, s0])
+
+        zl = jnp.where(self.lb, 1.0, 0.0)
+        zu = jnp.where(self.ub, 1.0, 0.0)
+        y0 = jnp.asarray(p.model.y0) * p.sign
+
+        # scaling (computed at the pushed initial point, nlpmodels.jl:693-765)
+        scal = p.compute_scaling(w0)
+        if not o.nlp_scaling:
+            scal = Scaling(jnp.ones(()), jnp.ones((p.m,)))
+        # y0 and slack values/bounds move into the scaled space
+        y0 = y0 / jnp.maximum(scal.con_scale, 1e-300) if p.m else y0
+        cs_slk = p.gather_ineq(scal.con_scale)
+        w0 = w0.at[p.n :].set(w0[p.n :] * cs_slk)
+        xl = xl.at[p.n :].set(xl[p.n :] * cs_slk)
+        xu = xu.at[p.n :].set(xu[p.n :] * cs_slk)
+
+        st = st._replace(
+            x=w0, y=y0, zl=zl, zu=zu, xl=xl, xu=xu, scal=scal,
+            mu=jnp.asarray(o.barrier_options.mu_init),
+            tau=jnp.maximum(o.tau_min, 1.0 - o.barrier_options.mu_init),
+        )
+
+        # first evaluations
+        jac = p.eval_jac(scal, w0)
+        f = p.eval_grad(scal, w0)
+        obj = p.eval_obj(scal, w0)
+        c = p.eval_cons(scal, w0)
+        hess = p.eval_lag_hess(scal, w0, y0)
+        st = st._replace(
+            jac=jac, f=f, obj_val=obj, c=c, hess=hess,
+            jacl=self.kkt.jtprod(jac, y0),
+            obj_cnt=_i32(1), grad_cnt=_i32(1), con_cnt=_i32(1),
+            jac_cnt=_i32(1), hess_cnt=_i32(1),
+        )
+
+        # least-squares dual initialization (solver.jl:86-97)
+        if (
+            not o.dual_initialized
+            and o.dual_initialization_method == DualInitialization.LEAST_SQUARES
+            and p.m > 0
+        ):
+            st = st._replace(y=self._least_squares_duals(st))
+            st = st._replace(jacl=self.kkt.jtprod(st.jac, st.y))
+
+        theta = K.get_theta(st.c)
+        theta_max = 1e4 * jnp.maximum(1.0, theta)
+        st = st._replace(
+            theta_max=theta_max,
+            theta_min=1e-4 * jnp.maximum(1.0, theta),
+            filter=K.filter_reset(st.filter, theta_max),
+            status=_i32(S.REGULAR),
+        )
+        # NaN/Inf guards on the first evaluations (callbacks.jl:13-15)
+        def bad(v):
+            return ~jnp.all(jnp.isfinite(v))
+
+        status = st.status
+        status = jnp.where(bad(st.hess), _i32(S.INVALID_NUMBER_HESSIAN_LAGRANGIAN), status)
+        status = jnp.where(bad(st.jac), _i32(S.INVALID_NUMBER_JACOBIAN), status)
+        status = jnp.where(bad(st.c), _i32(S.INVALID_NUMBER_CONSTRAINTS), status)
+        status = jnp.where(bad(st.f), _i32(S.INVALID_NUMBER_GRADIENT), status)
+        status = jnp.where(bad(st.obj_val), _i32(S.INVALID_NUMBER_OBJECTIVE), status)
+        return st._replace(status=status)
+
+    def _least_squares_duals(self, st: State):
+        """Solve [I Aᵀ; A 0] with rhs (-∇f + zl - zu, 0) and take the dual
+        part, clipped by ‖·‖∞ <= constr_mult_init_max (solver.jl:86-97)."""
+        p = self.prob
+        ctx = self.kkt.build_and_factorize(
+            hess=jnp.zeros((p.n, p.n)),
+            jac=st.jac,
+            reg=jnp.ones((p.nw,)),
+            du_diag=jnp.zeros((p.m,)),
+            dl=jnp.ones((p.nw,)),
+            du_=jnp.ones((p.nw,)),
+            zl=jnp.zeros((p.nw,)),
+            zu=jnp.zeros((p.nw,)),
+        )
+        rhs = KKTVec(
+            xp=-st.f + st.zl - st.zu,
+            y=jnp.zeros((p.m,)),
+            zl=jnp.zeros((p.nw,)),
+            zu=jnp.zeros((p.nw,)),
+        )
+        d, ok, _ = self.kkt.solve_refine(ctx, rhs)
+        too_big = jnp.max(jnp.abs(d.y)) > self.opts.constr_mult_init_max
+        return jnp.where(ok & ~too_big, d.y, jnp.zeros((p.m,)))
+
+    # ------------------------------------------------------------------
+    # barrier update (monotone; barrier.jl:12-34)
+    # ------------------------------------------------------------------
+
+    def update_barrier_monotone(self, st: State, sc):
+        o = self.opts
+        bo = o.barrier_options
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+
+        def compl_at(mu):
+            return K.get_inf_compl(dl, du_, st.zl, st.zu, self.lb, self.ub, mu, sc)
+
+        inf_compl_mu = compl_at(st.mu)
+        mu_min = o.mu_min
+
+        def cond(carry):
+            mu, tau, icm, filt = carry
+            inf_barrier = jnp.maximum(st.inf_pr, jnp.maximum(st.inf_du, icm))
+            return (mu > max(mu_min, o.tol / 10)) & (
+                inf_barrier <= o.barrier_tol_factor * mu
+            )
+
+        def body(carry):
+            mu, tau, icm, filt = carry
+            mu_new = K.get_mu(
+                mu, mu_min, bo.mu_linear_decrease_factor,
+                bo.mu_superlinear_decrease_power, o.tol,
+            )
+            # N.B. reference recomputes compl and tau with the *old* mu
+            # before assigning mu_new (barrier.jl:20-31)
+            icm = compl_at(mu)
+            tau = K.get_tau(mu, o.tau_min)
+            filt = K.filter_reset(filt, st.theta_max)
+            return mu_new, tau, icm, filt
+
+        mu, tau, icm, filt = lax.while_loop(
+            cond, body, (st.mu, st.tau, inf_compl_mu, st.filter)
+        )
+        return st._replace(mu=mu, tau=tau, inf_compl_mu=icm, filter=filt)
+
+    # ------------------------------------------------------------------
+    # Newton system assembly + inertia correction (solver.jl:611-783)
+    # ------------------------------------------------------------------
+
+    def _aug_rhs(self, st: State, c, mu):
+        """set_aug_rhs! (kernels.jl:113-130) + κ_d damping."""
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+        px = -st.f + st.zl - st.zu - st.jacl
+        px = K.dual_inf_perturbation(px, self.llb, self.uub, mu, self.opts.kappa_d)
+        return KKTVec(
+            xp=px,
+            y=-c,
+            zl=jnp.where(self.lb, mu - dl * st.zl, 0.0),
+            zu=jnp.where(self.ub, du_ * st.zu - mu, 0.0),
+        )
+
+    def _factorize(self, st: State, del_w, del_c, rr: bool = False):
+        """build_kkt! + factorize! with total regularization δw, δc."""
+        o = self.opts
+        p = self.prob
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+        if rr:
+            reg = (
+                o.default_primal_regularization
+                + st.RR.zeta * st.RR.D_R**2
+                + del_w
+            )
+            du_diag = (
+                -o.default_dual_regularization
+                - st.RR.pp / st.RR.zp
+                - st.RR.nn / st.RR.zn
+                - del_c
+            )
+        else:
+            reg = jnp.full((p.nw,), o.default_primal_regularization) + del_w
+            du_diag = jnp.full((p.m,), -o.default_dual_regularization) - del_c
+        return self.kkt.build_and_factorize(
+            st.hess, st.jac, reg, du_diag, dl, du_, st.zl, st.zu
+        )
+
+    def _next_del_w(self, n_trial, del_w, del_w_last):
+        """The δ_w escalation ladder (solver.jl:639-649)."""
+        o = self.opts
+        first = jnp.where(
+            del_w_last == 0.0,
+            o.first_hessian_perturbation,
+            jnp.maximum(o.min_hessian_perturbation, o.perturb_dec_fact * del_w_last),
+        )
+        grow = del_w * jnp.where(
+            del_w_last == 0.0, o.perturb_inc_fact_first, o.perturb_inc_fact
+        )
+        return jnp.where(n_trial == 0, first, grow)
+
+    def inertia_correction(self, st: State, p_rhs: KKTVec, rr: bool = False):
+        """Returns (ctx, d, success, st') — st' carries counters/δs.
+
+        Dispatches on the statically-resolved inertia strategy."""
+        if self.inertia_method == InertiaCorrection.BASED:
+            return self._inertia_correction_based(st, p_rhs, rr)
+        if self.inertia_method == InertiaCorrection.IGNORE:
+            return self._inertia_correction_ignore(st, p_rhs, rr)
+        return self._inertia_correction_free(st, p_rhs, rr)
+
+    def _inertia_correction_based(self, st: State, p_rhs: KKTVec, rr: bool):
+        o = self.opts
+        zero = jnp.zeros(())
+
+        def attempt(st, del_w, del_c):
+            ctx = self._factorize(st, del_w, del_c, rr=rr)
+            pos, nzero, neg = self.kkt.inertia(ctx)
+            ok_inertia = self.kkt.is_inertia_correct(pos, nzero, neg)
+            d, solved, iters = self.kkt.solve_refine(ctx, p_rhs)
+            solve_status = ok_inertia & solved
+            return ctx, d, solve_status, nzero, iters
+
+        ctx0, d0, ok0, nzero0, it0 = attempt(st, zero, zero)
+        st = st._replace(
+            factorization_cnt=st.factorization_cnt + 1,
+            backsolve_cnt=st.backsolve_cnt + it0,
+        )
+
+        def cond(carry):
+            ctx, d, ok, nzero, n_trial, del_w, del_c, fail, stc = carry
+            return ~ok & ~fail
+
+        def body(carry):
+            ctx, d, ok, nzero, n_trial, del_w, del_c, fail, stc = carry
+            del_w_new = self._next_del_w(n_trial, del_w, stc.del_w_last)
+            fail_new = del_w_new > o.max_hessian_perturbation
+            # δ_c on rank-deficient Jacobian (num_zero != 0)
+            mu = stc.RR.mu_R if rr else stc.mu
+            del_c_new = jnp.where(
+                nzero != 0,
+                o.jacobian_regularization_value
+                * mu**o.jacobian_regularization_exponent,
+                0.0,
+            )
+            ctx2, d2, ok2, nzero2, iters = attempt(stc, del_w_new, del_c_new)
+            stc2 = stc._replace(
+                factorization_cnt=stc.factorization_cnt + 1,
+                backsolve_cnt=stc.backsolve_cnt + iters,
+            )
+            # on failure keep previous payloads (they won't be used)
+            return lax.cond(
+                fail_new,
+                lambda: (ctx, d, ok, nzero, n_trial + 1, del_w_new, del_c_new, True, stc),
+                lambda: (ctx2, d2, ok2, nzero2, n_trial + 1, del_w_new, del_c_new, False, stc2),
+            )
+
+        ctx, d, ok, nzero, n_trial, del_w, del_c, fail, st = lax.while_loop(
+            cond, body,
+            (ctx0, d0, ok0, nzero0, _i32(0), zero, zero, jnp.asarray(False), st),
+        )
+        st = st._replace(
+            del_w=del_w,
+            del_c=del_c,
+            del_w_last=jnp.where(del_w != 0.0, del_w, st.del_w_last),
+        )
+        return ctx, d, ok & ~fail, st
+
+    def _inertia_correction_ignore(self, st: State, p_rhs: KKTVec, rr: bool):
+        o = self.opts
+        zero = jnp.zeros(())
+
+        def attempt(st, del_w, del_c):
+            ctx = self._factorize(st, del_w, del_c, rr=rr)
+            d, solved, iters = self.kkt.solve_refine(ctx, p_rhs)
+            return ctx, d, solved, iters
+
+        ctx0, d0, ok0, it0 = attempt(st, zero, zero)
+        st = st._replace(
+            factorization_cnt=st.factorization_cnt + 1,
+            backsolve_cnt=st.backsolve_cnt + it0,
+        )
+
+        def cond(carry):
+            ctx, d, ok, n_trial, del_w, del_c, fail, stc = carry
+            return ~ok & ~fail
+
+        def body(carry):
+            ctx, d, ok, n_trial, del_w, del_c, fail, stc = carry
+            del_w_new = self._next_del_w(n_trial, del_w, stc.del_w_last)
+            fail_new = del_w_new > o.max_hessian_perturbation
+            mu = stc.RR.mu_R if rr else stc.mu
+            del_c_new = (
+                o.jacobian_regularization_value
+                * mu**o.jacobian_regularization_exponent
+            )
+            ctx2, d2, ok2, iters = attempt(stc, del_w_new, del_c_new)
+            stc2 = stc._replace(
+                factorization_cnt=stc.factorization_cnt + 1,
+                backsolve_cnt=stc.backsolve_cnt + iters,
+            )
+            return lax.cond(
+                fail_new,
+                lambda: (ctx, d, ok, n_trial + 1, del_w_new, del_c_new, True, stc),
+                lambda: (ctx2, d2, ok2, n_trial + 1, del_w_new, del_c_new, False, stc2),
+            )
+
+        ctx, d, ok, n_trial, del_w, del_c, fail, st = lax.while_loop(
+            cond, body, (ctx0, d0, ok0, _i32(0), zero, zero, jnp.asarray(False), st)
+        )
+        st = st._replace(
+            del_w=del_w, del_c=del_c,
+            del_w_last=jnp.where(del_w != 0.0, del_w, st.del_w_last),
+        )
+        return ctx, d, ok & ~fail, st
+
+    def _inertia_correction_free(self, st: State, p_rhs: KKTVec, rr: bool):
+        """Inertia-free curvature test (solver.jl:672-737, curv_test :785-788)."""
+        o = self.opts
+        p = self.prob
+        zero = jnp.zeros(())
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+        mu = st.RR.mu_R if rr else st.mu
+        # g_ifr (kernels.jl:242-248)
+        g = (
+            st.f
+            - jnp.where(self.lb, mu / dl, 0.0)
+            + jnp.where(self.ub, mu / du_, 0.0)
+            + st.jacl
+        )
+        p0 = KKTVec(
+            xp=jnp.zeros((p.nw,)),
+            y=-st.c,
+            zl=jnp.zeros((p.nw,)),
+            zu=jnp.zeros((p.nw,)),
+        )
+
+        def attempt(st, del_w, del_c):
+            ctx = self._factorize(st, del_w, del_c, rr=rr)
+            d0, ok0, it0 = self.kkt.solve_refine(ctx, p0)
+            d, ok1, it1 = self.kkt.solve_refine(ctx, p_rhs)
+            t = d.xp - d0.xp
+            wx = self.kkt.mul_hess_blk(ctx, t)
+            curv_ok = (
+                jnp.dot(wx, t)
+                + jnp.maximum(jnp.dot(wx, d0.xp) - jnp.dot(g, d0.xp), 0.0)
+                - o.inertia_free_tol * jnp.dot(t, t)
+            ) >= 0.0
+            return ctx, d, (ok0 & ok1 & curv_ok), it0 + it1
+
+        ctx0, d0_, ok0, it0 = attempt(st, zero, zero)
+        st = st._replace(
+            factorization_cnt=st.factorization_cnt + 1,
+            backsolve_cnt=st.backsolve_cnt + it0,
+        )
+
+        def cond(carry):
+            ctx, d, ok, n_trial, del_w, del_c, fail, stc = carry
+            return ~ok & ~fail
+
+        def body(carry):
+            ctx, d, ok, n_trial, del_w, del_c, fail, stc = carry
+            del_w_new = self._next_del_w(n_trial, del_w, stc.del_w_last)
+            fail_new = del_w_new > o.max_hessian_perturbation
+            del_c_new = (
+                o.jacobian_regularization_value
+                * mu**o.jacobian_regularization_exponent
+            )
+            ctx2, d2, ok2, iters = attempt(stc, del_w_new, del_c_new)
+            stc2 = stc._replace(
+                factorization_cnt=stc.factorization_cnt + 1,
+                backsolve_cnt=stc.backsolve_cnt + iters,
+            )
+            return lax.cond(
+                fail_new,
+                lambda: (ctx, d, ok, n_trial + 1, del_w_new, del_c_new, True, stc),
+                lambda: (ctx2, d2, ok2, n_trial + 1, del_w_new, del_c_new, False, stc2),
+            )
+
+        ctx, d, ok, n_trial, del_w, del_c, fail, st = lax.while_loop(
+            cond, body, (ctx0, d0_, ok0, _i32(0), zero, zero, jnp.asarray(False), st)
+        )
+        st = st._replace(
+            del_w=del_w, del_c=del_c,
+            del_w_last=jnp.where(del_w != 0.0, del_w, st.del_w_last),
+        )
+        return ctx, d, ok & ~fail, st
+
+    # ------------------------------------------------------------------
+    # second-order correction (solver.jl:547-608)
+    # ------------------------------------------------------------------
+
+    def second_order_correction(
+        self, st: State, ctx: KKTContext, d: KKTVec, alpha_max, theta, varphi,
+        theta_trial0, varphi_d, switching_condition,
+    ):
+        """Returns (accepted, alpha_soc, ftype, x_trial, obj_trial, c_trial, st)."""
+        o = self.opts
+        p = self.prob
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+
+        wy0 = st.c_trial + alpha_max * st.c
+
+        def body(carry):
+            (pcnt, wy, theta_soc_old, done, accepted, alpha_soc, ftype,
+             x_t, obj_t, c_t, stc) = carry
+            rhs = self._aug_rhs(stc, wy, stc.mu)
+            w1, okr, iters = self.kkt.solve_refine(ctx, rhs)
+            stc = stc._replace(backsolve_cnt=stc.backsolve_cnt + iters)
+            wx = w1.xp
+            a_soc = K.get_alpha_max(stc.x, stc.xl, stc.xu, wx, stc.tau, self.lb, self.ub)
+            x_soc = stc.x + a_soc * wx
+            c_soc = self.eval_cons(stc, x_soc)
+            obj_soc = self.eval_obj(stc, x_soc)
+            stc = stc._replace(
+                con_cnt=stc.con_cnt + 1, obj_cnt=stc.obj_cnt + 1
+            )
+            theta_soc = K.get_theta(c_soc)
+            dl_t, du_t = self.slacks(x_soc, stc.xl, stc.xu)
+            varphi_soc = K.get_varphi(obj_soc, dl_t, du_t, self.lb, self.ub, stc.mu)
+
+            filter_ok = K.is_filter_acceptable(stc.filter, theta_soc, varphi_soc)
+            case1 = (theta <= stc.theta_min) & switching_condition
+            armijo_soc = K.is_armijo(varphi_soc, varphi, o.eta_phi, stc.alpha, varphi_d)
+            suff_soc = K.is_sufficient_progress(
+                theta_soc, theta, o.gamma_theta, varphi_soc, varphi, o.gamma_phi,
+                p.has_constraints,
+            )
+            accept_now = filter_ok & jnp.where(case1, armijo_soc, suff_soc)
+            ftype_new = jnp.where(case1, _i32(K.FTYPE_SOC_F), _i32(K.FTYPE_SOC_H))
+
+            stop_diverge = (~filter_ok) | (theta_soc > o.kappa_soc * theta_soc_old)
+            done_new = accept_now | stop_diverge | (pcnt + 1 >= o.max_soc)
+
+            return lax.cond(
+                accept_now,
+                lambda: (pcnt + 1, w1.y, theta_soc, True, True, a_soc, ftype_new,
+                         x_soc, obj_soc, c_soc, stc),
+                lambda: (pcnt + 1, w1.y, theta_soc, done_new, False, alpha_soc,
+                         ftype, x_t, obj_t, c_t, stc),
+            )
+
+        def cond(carry):
+            return ~carry[3]
+
+        init = (
+            _i32(0), wy0, theta_trial0, jnp.asarray(False), jnp.asarray(False),
+            jnp.zeros(()), _i32(K.FTYPE_NONE), st.x_trial, st.obj_val_trial,
+            st.c_trial, st,
+        )
+        (pcnt, wy, th_old, done, accepted, alpha_soc, ftype, x_t, obj_t, c_t,
+         st) = lax.while_loop(cond, body, init)
+        return accepted, alpha_soc, ftype, x_t, obj_t, c_t, st
+
+    # ------------------------------------------------------------------
+    # filter line search (line_search.jl:6-123)
+    # ------------------------------------------------------------------
+
+    def filter_line_search(self, st: State, ctx: KKTContext, d: KKTVec):
+        """Returns st' with trial point, alpha, ftype, filter updates and
+        ``status`` one of LINESEARCH_SUCCEEDED / RESTORE / REGULAR(second
+        chance) / SOLVED_TO_ACCEPTABLE_LEVEL /
+        SEARCH_DIRECTION_BECOMES_TOO_SMALL."""
+        o = self.opts
+        p = self.prob
+        eps = jnp.finfo(st.x.dtype).eps
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+
+        theta = K.get_theta(st.c)
+        varphi = K.get_varphi(st.obj_val, dl, du_, self.lb, self.ub, st.mu)
+        varphi_d = K.get_varphi_d(st.f, dl, du_, self.lb, self.ub, d.xp, st.mu)
+        alpha_max = K.get_alpha_max(st.x, st.xl, st.xu, d.xp, st.tau, self.lb, self.ub)
+        alpha_z = K.get_alpha_z(st.zl, st.zu, d.zl, d.zu, st.tau, self.lb, self.ub)
+        alpha_min = K.get_alpha_min(
+            theta, varphi_d, st.theta_min, o.gamma_theta, o.gamma_phi,
+            o.alpha_min_frac, o.delta, o.s_theta, o.s_phi,
+        )
+        small_search_norm = K.get_rel_search_norm(st.x, d.xp) < 10 * eps
+        switching = K.is_switching(varphi_d, alpha_max, o.s_phi, o.delta, 2.0, o.s_theta)
+
+        dnorm = jnp.max(jnp.abs(d.xp))
+
+        # loop carry: (st, alpha, exit_code, armijo, theta_trial, varphi_trial,
+        #              done)
+        # exit codes: 0 = accepted, else a Status value
+        def body(carry):
+            stc, alpha, code, armijo, th_t, ph_t, done = carry
+            x_t = stc.x + alpha * d.xp
+            obj_t = self.eval_obj(stc, x_t)
+            c_t = self.eval_cons(stc, x_t)
+            stc = stc._replace(
+                obj_cnt=stc.obj_cnt + 1, con_cnt=stc.con_cnt + 1,
+                x_trial=x_t, obj_val_trial=obj_t, c_trial=c_t,
+            )
+            th_t = K.get_theta(c_t)
+            dl_t, du_t = self.slacks(x_t, stc.xl, stc.xu)
+            ph_t = K.get_varphi(obj_t, dl_t, du_t, self.lb, self.ub, stc.mu)
+            armijo = K.is_armijo(ph_t, varphi, o.eta_phi, alpha, varphi_d)
+
+            ftype = K.get_ftype(
+                stc.filter, theta, th_t, varphi, ph_t, switching, armijo,
+                stc.theta_min, o.obj_max_inc, o.gamma_theta, o.gamma_phi,
+                p.has_constraints,
+            )
+            accept_f = (ftype == K.FTYPE_F) | (ftype == K.FTYPE_H)
+            accept_small = small_search_norm
+            stc = stc._replace(ftype=jnp.where(accept_f, ftype, stc.ftype))
+
+            # SOC attempt: first backtrack only, theta increased
+            try_soc = (
+                (~accept_f) & (~accept_small)
+                & (stc.l_cnt == 1) & (th_t >= theta)
+            )
+
+            def do_soc(stc):
+                acc, a_soc, ft, x_s, obj_s, c_s, stc = self.second_order_correction(
+                    stc, ctx, d, alpha_max, theta, varphi, th_t, varphi_d, switching
+                )
+                stc = lax.cond(
+                    acc,
+                    lambda s: s._replace(
+                        x_trial=x_s, obj_val_trial=obj_s, c_trial=c_s,
+                        ftype=ft,
+                    ),
+                    lambda s: s,
+                    stc,
+                )
+                return acc, a_soc, stc
+
+            soc_accepted, alpha_soc, stc = lax.cond(
+                try_soc,
+                do_soc,
+                lambda s: (jnp.asarray(False), jnp.zeros(()), s),
+                stc,
+            )
+
+            accepted = accept_f | accept_small | soc_accepted
+            alpha_out = jnp.where(soc_accepted, alpha_soc, alpha)
+
+            # rejection path
+            alpha_next = alpha / 2.0
+            l_next = stc.l_cnt + 1
+            below_min = alpha_next < alpha_min
+            tiny_step = alpha_next * dnorm < eps * 10
+
+            # tiny-step handling (line_search.jl:79-97)
+            rfc = stc.restoration_fail_count + 1
+            give_up = rfc >= 4
+            code_giveup = jnp.where(
+                stc.acceptable_cnt > 0,
+                _i32(S.SOLVED_TO_ACCEPTABLE_LEVEL),
+                _i32(S.SEARCH_DIRECTION_BECOMES_TOO_SMALL),
+            )
+
+            def reject(stc):
+                # below alpha_min -> RESTORE (k += 1)
+                def to_restore(stc):
+                    return stc._replace(k=stc.k + 1), _i32(S.RESTORE), True
+
+                def tiny(stc):
+                    def really_give_up(stc):
+                        return stc._replace(restoration_fail_count=rfc), code_giveup, True
+
+                    def second_chance(stc):
+                        stc = stc._replace(
+                            restoration_fail_count=rfc,
+                            y=jnp.zeros_like(stc.y),
+                            zl=jnp.where(self.lb, 1.0, 0.0),
+                            zu=jnp.where(self.ub, 1.0, 0.0),
+                            filter=K.filter_reset(stc.filter, stc.theta_max),
+                            k=stc.k + 1,
+                        )
+                        return stc, _i32(S.REGULAR), True
+
+                    return lax.cond(give_up, really_give_up, second_chance, stc)
+
+                def keep_halving(stc):
+                    return stc, _i32(0), False
+
+                return lax.cond(
+                    below_min,
+                    to_restore,
+                    lambda stc: lax.cond(tiny_step, tiny, keep_halving, stc),
+                    stc,
+                )
+
+            def no_reject(stc):
+                return stc, _i32(0), True  # accepted
+
+            stc, code_new, done_new = lax.cond(accepted, no_reject, reject, stc)
+            stc = lax.cond(
+                accepted | done_new,
+                lambda s: s,
+                lambda s: s._replace(l_cnt=l_next),
+                stc,
+            )
+            alpha_carry = jnp.where(accepted, alpha_out, alpha_next)
+            return stc, alpha_carry, code_new, armijo, th_t, ph_t, done_new
+
+        def cond(carry):
+            return ~carry[6]
+
+        st0 = st._replace(l_cnt=_i32(1))
+        init = (
+            st0, alpha_max, _i32(0), jnp.asarray(False), jnp.zeros(()),
+            jnp.zeros(()), jnp.asarray(False),
+        )
+        st, alpha, code, armijo, th_t, ph_t, _ = lax.while_loop(cond, body, init)
+        st = st._replace(alpha=alpha, alpha_z=alpha_z)
+
+        accepted = code == 0
+
+        def post_accept(st):
+            # filter-restart heuristic (line_search.jl:103-115): count
+            # iterations that needed backtracking (l_cnt > 1 at acceptance)
+            was_unsuccessful = st.l_cnt > 1
+
+            def bump(st):
+                cnt = st.unsuccessful_iterate + 1
+
+                def restart(st):
+                    tm = st.theta_max / 10.0
+                    better = tm > th_t
+                    return lax.cond(
+                        better,
+                        lambda s: s._replace(
+                            theta_max=tm, filter=K.filter_reset(s.filter, tm)
+                        ),
+                        lambda s: s,
+                        st,
+                    )._replace(unsuccessful_iterate=_i32(0))
+
+                return lax.cond(
+                    cnt >= 4, restart,
+                    lambda s: s._replace(unsuccessful_iterate=cnt), st
+                )
+
+            st = lax.cond(
+                was_unsuccessful, bump,
+                lambda s: s._replace(unsuccessful_iterate=_i32(0)), st
+            )
+            # augment filter (line_search.jl:117-120)
+            st = lax.cond(
+                (~switching) | (~armijo),
+                lambda s: s._replace(
+                    filter=K.filter_augment(s.filter, th_t, ph_t, o.gamma_theta)
+                ),
+                lambda s: s,
+                st,
+            )
+            return st._replace(status=_i32(S.LINESEARCH_SUCCEEDED))
+
+        st = lax.cond(accepted, post_accept, lambda s: s._replace(status=code), st)
+        return st
+
+    # ------------------------------------------------------------------
+    # regular! — one iteration (solver.jl:216-298)
+    # ------------------------------------------------------------------
+
+    def regular_step(self, st: State) -> State:
+        o = self.opts
+        p = self.prob
+
+        # Jacobian refresh (skipped at k == 0: evaluated in initialize)
+        if not o.jacobian_constant:
+            st = lax.cond(
+                st.k > 0,
+                lambda s: s._replace(
+                    jac=p.eval_jac(s.scal, s.x), jac_cnt=s.jac_cnt + 1
+                ),
+                lambda s: s,
+                st,
+            )
+        st = st._replace(jacl=self.kkt.jtprod(st.jac, st.y))
+
+        sd, sc = self._sd_sc(st)
+        inf_pr, inf_du, inf_compl = self._residuals(st, sd, sc)
+        st = st._replace(inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl)
+
+        # termination (solver.jl:239-246)
+        inf_total = jnp.maximum(inf_pr, jnp.maximum(inf_du, inf_compl))
+        status = _i32(S.REGULAR)
+        acceptable = inf_total <= o.acceptable_tol
+        acc_cnt = jnp.where(acceptable, st.acceptable_cnt + 1, 0)
+        status = jnp.where(
+            acceptable & (st.acceptable_cnt >= o.acceptable_iter),
+            _i32(S.SOLVED_TO_ACCEPTABLE_LEVEL), status,
+        )
+        status = jnp.where(
+            inf_total >= o.diverging_iterates_tol, _i32(S.DIVERGING_ITERATES), status
+        )
+        status = jnp.where(st.k >= o.max_iter, _i32(S.MAXIMUM_ITERATIONS_EXCEEDED), status)
+        status = jnp.where(inf_total <= o.tol, _i32(S.SOLVE_SUCCEEDED), status)
+        st = st._replace(acceptable_cnt=acc_cnt, status=status)
+
+        def work(st):
+            # Hessian refresh
+            if not o.hessian_constant:
+                st = lax.cond(
+                    st.k > 0,
+                    lambda s: s._replace(
+                        hess=p.eval_lag_hess(s.scal, s.x, s.y),
+                        hess_cnt=s.hess_cnt + 1,
+                    ),
+                    lambda s: s,
+                    st,
+                )
+            # barrier
+            st = self.update_barrier_monotone(st, sc)
+            # rhs + inertia-corrected factorization + solve
+            p_rhs = self._aug_rhs(st, st.c, st.mu)
+            st = st._replace(p=p_rhs)
+            ctx, d, ok, st = self.inertia_correction(st, p_rhs)
+            st = st._replace(d=d)
+
+            def to_robust(st):
+                # solver.jl:646-649: k += 1 before switching
+                return st._replace(status=_i32(S.ROBUST), k=st.k + 1,
+                                   rr_init_needed=jnp.asarray(True))
+
+            def line_search_and_accept(st):
+                st = self.filter_line_search(st, ctx, d)
+
+                def accept(st):
+                    x = st.x_trial
+                    y = st.y + st.alpha * d.y
+                    zl = st.zl + st.alpha_z * d.zl
+                    zu = st.zu + st.alpha_z * d.zu
+                    xl, xu = K.adjust_boundary(x, st.xl, st.xu, self.lb, self.ub, st.mu)
+                    dl, du_ = K.slacks(x, xl, xu, self.lb, self.ub)
+                    zl = K.reset_bound_dual(zl, dl, self.lb, st.mu, o.kappa_sigma)
+                    zu = K.reset_bound_dual(zu, du_, self.ub, st.mu, o.kappa_sigma)
+                    st = st._replace(
+                        x=x, y=y, zl=zl, zu=zu, xl=xl, xu=xu,
+                        c=st.c_trial, obj_val=st.obj_val_trial,
+                        f=p.eval_grad(st.scal, x),
+                        grad_cnt=st.grad_cnt + 1,
+                        k=st.k + 1,
+                        status=_i32(S.REGULAR),
+                    )
+                    return st
+
+                def handle_fail(st):
+                    # RESTORE: stash backups + soft-restoration setup
+                    # (solver.jl:300-322)
+                    def to_restore(st):
+                        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+                        F = K.get_F(
+                            st.c, st.f, st.zl, st.zu, st.jacl, dl, du_,
+                            self.lb, self.ub, st.mu,
+                        )
+                        return st._replace(
+                            del_w=jnp.zeros(()),
+                            backup_x=st.x, backup_y=st.y, backup_c=st.c,
+                            soft_F=F,
+                            alpha_z=jnp.zeros(()),
+                            ftype=_i32(K.FTYPE_RESTORE),
+                        )
+
+                    return lax.cond(
+                        st.status == _i32(S.RESTORE), to_restore, lambda s: s, st
+                    )
+
+                return lax.cond(
+                    st.status == _i32(S.LINESEARCH_SUCCEEDED), accept, handle_fail, st
+                )
+
+            return lax.cond(ok, line_search_and_accept, to_robust, st)
+
+        return lax.cond(st.status == _i32(S.REGULAR), work, lambda s: s, st)
+
+    # ------------------------------------------------------------------
+    # restore! — soft restoration, one iteration (solver.jl:300-411)
+    # ------------------------------------------------------------------
+
+    def restore_step(self, st: State) -> State:
+        o = self.opts
+        p = self.prob
+        d = st.d
+
+        alpha_max = K.get_alpha_max(st.x, st.xl, st.xu, d.xp, st.tau, self.lb, self.ub)
+        alpha = jnp.minimum(
+            alpha_max,
+            K.get_alpha_z(st.zl, st.zu, d.zl, d.zu, st.tau, self.lb, self.ub),
+        )
+        x = st.x + alpha * d.xp
+        y = st.y + alpha * d.y
+        zl = st.zl + alpha * d.zl
+        zu = st.zu + alpha * d.zu
+
+        c = self.eval_cons(st, x)
+        f = p.eval_grad(st.scal, x)
+        obj = self.eval_obj(st, x)
+        jac = st.jac if o.jacobian_constant else p.eval_jac(st.scal, x)
+        jacl = self.kkt.jtprod(jac, y)
+        st = st._replace(
+            x=x, y=y, zl=zl, zu=zu, c=c, f=f, obj_val=obj, jac=jac, jacl=jacl,
+            alpha=alpha,
+            con_cnt=st.con_cnt + 1, grad_cnt=st.grad_cnt + 1,
+            obj_cnt=st.obj_cnt + 1,
+            jac_cnt=st.jac_cnt + (0 if o.jacobian_constant else 1),
+        )
+
+        dl, du_ = self.slacks(x, st.xl, st.xu)
+        F_trial = K.get_F(c, f, zl, zu, jacl, dl, du_, self.lb, self.ub, st.mu)
+        go_robust = F_trial > o.soft_resto_pderror_reduction_factor * st.soft_F
+
+        def to_robust(st):
+            # revert to the backup iterate (solver.jl:362-367)
+            return st._replace(
+                x=st.backup_x, y=st.backup_y, c=st.backup_c,
+                status=_i32(S.ROBUST), rr_init_needed=jnp.asarray(True),
+            )
+
+        def continue_soft(st):
+            xl, xu = K.adjust_boundary(st.x, st.xl, st.xu, self.lb, self.ub, st.mu)
+            st = st._replace(xl=xl, xu=xu, soft_F=F_trial)
+            dl, du_ = self.slacks(st.x, xl, xu)
+            theta = K.get_theta(st.c)
+            varphi = K.get_varphi(st.obj_val, dl, du_, self.lb, self.ub, st.mu)
+            st = st._replace(k=st.k + 1)
+
+            back_to_regular = K.is_filter_acceptable(st.filter, theta, varphi)
+            hit_max_iter = st.k >= o.max_iter
+
+            def next_inner(st):
+                st = st._replace(t_cnt=st.t_cnt + 1)
+                sd, sc = self._sd_sc(st)
+                inf_pr, inf_du, inf_compl = self._residuals(st, sd, sc)
+                dl, du_ = self.slacks(st.x, st.xl, st.xu)
+                icm = K.get_inf_compl(
+                    dl, du_, st.zl, st.zu, self.lb, self.ub, st.mu, sc
+                )
+                st = st._replace(
+                    inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl,
+                    inf_compl_mu=icm,
+                )
+                if not o.hessian_constant:
+                    st = st._replace(
+                        hess=p.eval_lag_hess(st.scal, st.x, st.y),
+                        hess_cnt=st.hess_cnt + 1,
+                    )
+                p_rhs = self._aug_rhs(st, st.c, st.mu)
+                ctx = self._factorize(st, jnp.zeros(()), jnp.zeros(()))
+                d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs)
+                st = st._replace(
+                    p=p_rhs, d=d2,
+                    factorization_cnt=st.factorization_cnt + 1,
+                    backsolve_cnt=st.backsolve_cnt + iters,
+                    ftype=_i32(K.FTYPE_F),
+                    status=_i32(S.RESTORE),
+                )
+                return st
+
+            st = lax.cond(
+                back_to_regular,
+                lambda s: s._replace(status=_i32(S.REGULAR)),
+                lambda s: lax.cond(
+                    hit_max_iter,
+                    lambda s2: s2._replace(status=_i32(S.MAXIMUM_ITERATIONS_EXCEEDED)),
+                    next_inner,
+                    s,
+                ),
+                st,
+            )
+            return st
+
+        return lax.cond(go_robust, to_robust, continue_soft, st)
+
+    # ------------------------------------------------------------------
+    # robust! — ℓ1-penalty restoration, one iteration (solver.jl:413-545)
+    # ------------------------------------------------------------------
+
+    def _init_robust_restorer(self, st: State) -> State:
+        """initialize_robust_restorer! (restoration.jl:39-75)."""
+        o = self.opts
+        rho = o.rho
+        c = st.c
+        theta_ref = K.get_theta(c)
+        x_ref = st.x
+        D_R = jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.abs(x_ref), 1e-300))
+        mu_R = jnp.maximum(st.mu, jnp.max(jnp.abs(c)) if c.size else st.mu)
+        tau_R = jnp.maximum(o.tau_min, 1.0 - mu_R)
+        zeta = jnp.sqrt(mu_R)
+        nn = K.populate_RR_nn(c, mu_R, rho)
+        pp = c + nn
+        zp = mu_R / pp
+        zn = mu_R / nn
+        obj_val_R = K.get_obj_val_R(pp, nn, D_R, st.x, x_ref, rho, zeta)
+        RR = st.RR._replace(
+            x_ref=x_ref, theta_ref=theta_ref, D_R=D_R, mu_R=mu_R, tau_R=tau_R,
+            zeta=zeta, pp=pp, nn=nn, zp=zp, zn=zn,
+            obj_val_R=obj_val_R,
+            f_R=jnp.zeros_like(st.x),
+            filter=K.filter_reset(st.RR.filter, st.theta_max),
+        )
+        return st._replace(
+            RR=RR,
+            y=jnp.zeros_like(st.y),
+            zl=jnp.where(self.lb, jnp.minimum(rho, st.zl), 0.0),
+            zu=jnp.where(self.ub, jnp.minimum(rho, st.zu), 0.0),
+            t_cnt=_i32(0),
+            del_w=jnp.zeros(()),
+            rr_init_needed=jnp.asarray(False),
+        )
+
+    def _update_monotone_RR(self, st: State, sc) -> State:
+        """barrier.jl:39-88."""
+        o = self.opts
+        bo = o.barrier_options
+        RR = st.RR
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+
+        def compl_at(mu_R):
+            return K.get_inf_compl_R(
+                dl, du_, st.zl, st.zu, self.lb, self.ub,
+                RR.pp, RR.zp, RR.nn, RR.zn, mu_R, sc,
+            )
+
+        def cond(carry):
+            mu_R, tau_R, zeta, filt = carry
+            icm = compl_at(mu_R)
+            err = jnp.maximum(RR.inf_pr_R, jnp.maximum(RR.inf_du_R, icm))
+            return (mu_R >= o.mu_min) & (err <= o.barrier_tol_factor * mu_R)
+
+        def body(carry):
+            mu_R, tau_R, zeta, filt = carry
+            mu_R = K.get_mu(
+                mu_R, o.mu_min, bo.mu_linear_decrease_factor,
+                bo.mu_superlinear_decrease_power, o.tol,
+            )
+            tau_R = jnp.maximum(o.tau_min, 1.0 - mu_R)
+            zeta = jnp.sqrt(mu_R)
+            filt = K.filter_reset(filt, st.theta_max)
+            return mu_R, tau_R, zeta, filt
+
+        mu_R, tau_R, zeta, filt = lax.while_loop(
+            cond, body, (RR.mu_R, RR.tau_R, RR.zeta, RR.filter)
+        )
+        return st._replace(
+            RR=RR._replace(mu_R=mu_R, tau_R=tau_R, zeta=zeta, filter=filt)
+        )
+
+    def _aug_rhs_RR(self, st: State) -> KKTVec:
+        """set_aug_rhs_RR! (kernels.jl:133-158)."""
+        o = self.opts
+        RR = st.RR
+        rho = o.rho
+        mu = RR.mu_R
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+        px = -RR.f_R + st.zl - st.zu - st.jacl
+        py = (
+            -st.c + RR.pp - RR.nn
+            + (mu - (rho - st.y) * RR.pp) / RR.zp
+            - (mu - (rho + st.y) * RR.nn) / RR.zn
+        ) if self.prob.m else -st.c
+        return KKTVec(
+            xp=px,
+            y=py,
+            zl=jnp.where(self.lb, mu - dl * st.zl, 0.0),
+            zu=jnp.where(self.ub, du_ * st.zu - mu, 0.0),
+        )
+
+    def filter_line_search_RR(self, st: State) -> State:
+        """line_search.jl:129-222."""
+        o = self.opts
+        p = self.prob
+        eps = jnp.finfo(st.x.dtype).eps
+        RR = st.RR
+        d = st.d
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+
+        theta_R = K.get_theta_R(st.c, RR.pp, RR.nn)
+        varphi_R = K.get_varphi_R(
+            RR.obj_val_R, dl, du_, self.lb, self.ub, RR.pp, RR.nn, RR.mu_R
+        )
+        varphi_d_R = K.get_varphi_d_R(
+            RR.f_R, dl, du_, self.lb, self.ub, d.xp, RR.pp, RR.nn,
+            RR.dpp, RR.dnn, RR.mu_R, o.rho,
+        )
+        alpha_max = K.get_alpha_max_R(
+            st.x, st.xl, st.xu, d.xp, self.lb, self.ub,
+            RR.pp, RR.dpp, RR.nn, RR.dnn, RR.tau_R,
+        )
+        alpha_z = K.get_alpha_z_R(
+            st.zl, st.zu, d.zl, d.zu, self.lb, self.ub,
+            RR.zp, RR.dzp, RR.zn, RR.dzn, RR.tau_R,
+        )
+        alpha_min = K.get_alpha_min(
+            theta_R, varphi_d_R, st.theta_min, o.gamma_theta, o.gamma_phi,
+            o.alpha_min_frac, o.delta, o.s_theta, o.s_phi,
+        )
+        small_search_norm = K.get_rel_search_norm(st.x, d.xp) < 10 * eps
+        switching = K.is_switching(
+            varphi_d_R, alpha_max, o.s_phi, o.delta, theta_R, o.s_theta
+        )
+
+        def body(carry):
+            stc, alpha, code, armijo, th_t, ph_t, done = carry
+            x_t = stc.x + alpha * d.xp
+            pp_t = stc.RR.pp + alpha * stc.RR.dpp
+            nn_t = stc.RR.nn + alpha * stc.RR.dnn
+            obj_R_t = K.get_obj_val_R(
+                pp_t, nn_t, stc.RR.D_R, x_t, stc.RR.x_ref, o.rho, stc.RR.zeta
+            )
+            c_t = self.eval_cons(stc, x_t)
+            stc = stc._replace(
+                con_cnt=stc.con_cnt + 1,
+                x_trial=x_t, c_trial=c_t,
+                RR=stc.RR._replace(
+                    pp_trial=pp_t, nn_trial=nn_t, obj_val_R_trial=obj_R_t
+                ),
+            )
+            th_t = K.get_theta_R(c_t, pp_t, nn_t)
+            dl_t, du_t = self.slacks(x_t, stc.xl, stc.xu)
+            ph_t = K.get_varphi_R(
+                obj_R_t, dl_t, du_t, self.lb, self.ub, pp_t, nn_t, stc.RR.mu_R
+            )
+            armijo = K.is_armijo(ph_t, varphi_R, o.eta_phi, alpha, varphi_d_R)
+
+            ftype = K.get_ftype(
+                stc.RR.filter, theta_R, th_t, varphi_R, ph_t, switching, armijo,
+                stc.theta_min, o.obj_max_inc, o.gamma_theta, o.gamma_phi,
+                p.has_constraints,
+            )
+            accept = (
+                (ftype == K.FTYPE_F) | (ftype == K.FTYPE_H) | small_search_norm
+            )
+            stc = stc._replace(
+                ftype=jnp.where(
+                    (ftype == K.FTYPE_F) | (ftype == K.FTYPE_H), ftype, stc.ftype
+                )
+            )
+
+            alpha_next = alpha / 2.0
+            below_min = alpha_next < alpha_min
+            rfc = stc.restoration_fail_count + 1
+            give_up = rfc >= 4
+
+            def reject(stc):
+                def below(stc):
+                    def fail(stc):
+                        return (
+                            stc._replace(restoration_fail_count=rfc),
+                            _i32(S.RESTORATION_FAILED), True,
+                        )
+
+                    def second_chance(stc):
+                        stc = stc._replace(
+                            restoration_fail_count=rfc,
+                            y=jnp.zeros_like(stc.y),
+                            zl=jnp.where(self.lb, 1.0, 0.0),
+                            zu=jnp.where(self.ub, 1.0, 0.0),
+                            filter=K.filter_reset(stc.filter, stc.theta_max),
+                            k=stc.k + 1,
+                            t_cnt=stc.t_cnt + 1,
+                        )
+                        return stc, _i32(S.REGULAR), True
+
+                    return lax.cond(give_up, fail, second_chance, stc)
+
+                def tiny(stc):
+                    code = jnp.where(
+                        stc.acceptable_cnt > 0,
+                        _i32(S.SOLVED_TO_ACCEPTABLE_LEVEL),
+                        _i32(S.SEARCH_DIRECTION_BECOMES_TOO_SMALL),
+                    )
+                    return stc, code, True
+
+                def halve(stc):
+                    return stc._replace(l_cnt=stc.l_cnt + 1), _i32(0), False
+
+                return lax.cond(
+                    below_min,
+                    below,
+                    lambda s: lax.cond(alpha_next < eps * 10, tiny, halve, s),
+                    stc,
+                )
+
+            def no_reject(stc):
+                return stc, _i32(0), True
+
+            stc, code_new, done_new = lax.cond(accept, no_reject, reject, stc)
+            alpha_carry = jnp.where(accept, alpha, alpha_next)
+            return stc, alpha_carry, code_new, armijo, th_t, ph_t, done_new
+
+        def cond(carry):
+            return ~carry[6]
+
+        st0 = st._replace(l_cnt=_i32(1))
+        init = (
+            st0, alpha_max, _i32(0), jnp.asarray(False), jnp.zeros(()),
+            jnp.zeros(()), jnp.asarray(False),
+        )
+        st, alpha, code, armijo, th_t, ph_t, _ = lax.while_loop(cond, body, init)
+        st = st._replace(alpha=alpha, alpha_z=alpha_z)
+
+        accepted = code == 0
+
+        def post_accept(st):
+            st = lax.cond(
+                (~switching) | (~armijo),
+                lambda s: s._replace(
+                    RR=s.RR._replace(
+                        filter=K.filter_augment(
+                            s.RR.filter, th_t, ph_t, o.gamma_theta
+                        )
+                    )
+                ),
+                lambda s: s,
+                st,
+            )
+            return st._replace(status=_i32(S.LINESEARCH_SUCCEEDED))
+
+        return lax.cond(accepted, post_accept, lambda s: s._replace(status=code), st)
+
+    def robust_step(self, st: State) -> State:
+        o = self.opts
+        p = self.prob
+
+        st = lax.cond(
+            st.rr_init_needed, self._init_robust_restorer, lambda s: s, st
+        )
+
+        if not o.jacobian_constant:
+            st = st._replace(
+                jac=p.eval_jac(st.scal, st.x), jac_cnt=st.jac_cnt + 1
+            )
+        st = st._replace(jacl=self.kkt.jtprod(st.jac, st.y))
+
+        sd, sc = self._sd_sc(st)
+        inf_pr, inf_du, inf_compl = self._residuals(st, sd, sc)
+        dl, du_ = self.slacks(st.x, st.xl, st.xu)
+        RR = st.RR
+        inf_pr_R = K.get_inf_pr_R(st.c, RR.pp, RR.nn)
+        inf_du_R = K.get_inf_du_R(
+            RR.f_R, st.y, st.zl, st.zu, st.jacl, RR.zp, RR.zn, o.rho, sd
+        )
+        inf_compl_R = K.get_inf_compl_R(
+            dl, du_, st.zl, st.zu, self.lb, self.ub,
+            RR.pp, RR.zp, RR.nn, RR.zn, 0.0, sc,
+        )
+        st = st._replace(
+            inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl,
+            RR=RR._replace(
+                inf_pr_R=inf_pr_R, inf_du_R=inf_du_R, inf_compl_R=inf_compl_R
+            ),
+        )
+
+        err_R = jnp.maximum(inf_pr_R, jnp.maximum(inf_du_R, inf_compl_R))
+        status = _i32(S.ROBUST)
+        status = jnp.where(st.k >= o.max_iter, _i32(S.MAXIMUM_ITERATIONS_EXCEEDED), status)
+        status = jnp.where(err_R <= o.tol, _i32(S.INFEASIBLE_PROBLEM_DETECTED), status)
+        st = st._replace(status=status)
+
+        def work(st):
+            st = self._update_monotone_RR(st, sc)
+            if not o.hessian_constant:
+                st = st._replace(
+                    hess=p.eval_lag_hess(st.scal, st.x, st.y, is_resto=True),
+                    hess_cnt=st.hess_cnt + 1,
+                )
+            p_rhs = self._aug_rhs_RR(st)
+            st = st._replace(p=p_rhs)
+            ctx, d, ok, st = self.inertia_correction(st, p_rhs, rr=True)
+            st = st._replace(d=d)
+
+            def fail(st):
+                return st._replace(status=_i32(S.RESTORATION_FAILED))
+
+            def proceed(st):
+                # finish_aug_solve_RR (kernels.jl:251-257)
+                RR = st.RR
+                rho = o.rho
+                mu = RR.mu_R
+                dzp = rho - st.y - d.y - RR.zp
+                dzn = rho + st.y + d.y - RR.zn
+                dpp = -RR.pp + mu / RR.zp - (RR.pp / RR.zp) * dzp
+                dnn = -RR.nn + mu / RR.zn - (RR.nn / RR.zn) * dzn
+                st = st._replace(
+                    RR=RR._replace(dpp=dpp, dnn=dnn, dzp=dzp, dzn=dzn)
+                )
+                st = self.filter_line_search_RR(st)
+
+                def accept(st):
+                    RR = st.RR
+                    x = st.x_trial
+                    y = st.y + st.alpha * d.y
+                    zl = st.zl + st.alpha_z * d.zl
+                    zu = st.zu + st.alpha_z * d.zu
+                    zp = RR.zp + st.alpha_z * RR.dzp
+                    zn = RR.zn + st.alpha_z * RR.dzn
+                    pp = RR.pp_trial
+                    nn = RR.nn_trial
+                    mu_R = RR.mu_R
+                    f_R = RR.zeta * RR.D_R**2 * (x - RR.x_ref)
+                    dl, du_ = self.slacks(x, st.xl, st.xu)
+                    zl = K.reset_bound_dual(zl, dl, self.lb, mu_R, o.kappa_sigma)
+                    zu = K.reset_bound_dual(zu, du_, self.ub, mu_R, o.kappa_sigma)
+                    pp_safe = jnp.where(pp > 0, pp, 1.0)
+                    nn_safe = jnp.where(nn > 0, nn, 1.0)
+                    zp = jnp.maximum(
+                        jnp.minimum(zp, o.kappa_sigma * mu_R / pp_safe),
+                        mu_R / (o.kappa_sigma * pp_safe),
+                    )
+                    zn = jnp.maximum(
+                        jnp.minimum(zn, o.kappa_sigma * mu_R / nn_safe),
+                        mu_R / (o.kappa_sigma * nn_safe),
+                    )
+                    xl, xu = K.adjust_boundary(x, st.xl, st.xu, self.lb, self.ub, st.mu)
+                    obj = self.eval_obj(st, x)
+                    f = p.eval_grad(st.scal, x)
+                    st = st._replace(
+                        x=x, y=y, zl=zl, zu=zu, xl=xl, xu=xu,
+                        c=st.c_trial, obj_val=obj, f=f,
+                        obj_cnt=st.obj_cnt + 1, grad_cnt=st.grad_cnt + 1,
+                        RR=RR._replace(
+                            pp=pp, nn=nn, zp=zp, zn=zn,
+                            obj_val_R=RR.obj_val_R_trial, f_R=f_R,
+                        ),
+                    )
+                    # exit check (solver.jl:509-536)
+                    dl, du_ = self.slacks(x, xl, xu)
+                    theta = K.get_theta(st.c)
+                    varphi = K.get_varphi(obj, dl, du_, self.lb, self.ub, st.mu)
+                    go_back = K.is_filter_acceptable(st.filter, theta, varphi) & (
+                        theta <= o.required_infeasibility_reduction * st.RR.theta_ref
+                    )
+
+                    def back_to_regular(st):
+                        y_new = self._least_squares_duals(st)
+                        return st._replace(
+                            y=y_new,
+                            k=st.k + 1, t_cnt=st.t_cnt + 1,
+                            status=_i32(S.REGULAR),
+                        )
+
+                    def continue_robust(st):
+                        return st._replace(
+                            k=st.k + 1, t_cnt=st.t_cnt + 1,
+                            status=_i32(S.ROBUST),
+                        )
+
+                    return lax.cond(go_back, back_to_regular, continue_robust, st)
+
+                return lax.cond(
+                    st.status == _i32(S.LINESEARCH_SUCCEEDED), accept,
+                    lambda s: s, st,
+                )
+
+            return lax.cond(ok, proceed, fail, st)
+
+        return lax.cond(st.status == _i32(S.ROBUST), work, lambda s: s, st)

@@ -1,0 +1,187 @@
+"""Dense reduced-augmented KKT system (TPU re-design of the reference's
+``DenseKKTSystem``, ``/root/reference/src/KKT/Dense/augmented.jl``).
+
+The assembled matrix is the reduced system of ``src/KKT/KKTsystem.jl:38-58``:
+
+    [ W + Σx + δwI      0          Aₑᵀ  Aᵢᵀ ] [Δx]
+    [ 0                Σs + δwI     0   -I  ] [Δs]
+    [ Aₑ                0          -δcI  0  ] [Δy]
+    [ Aᵢ               -I           0  -δcI ] [Δz]
+
+stored as one (nw+m, nw+m) symmetric dense matrix; the bound duals (ν, w)
+are eliminated and recovered analytically (kernels.jl:182-204).  Assembly is
+pure tensor algebra (diag embeddings + one concat), built fresh every
+factorization — there is no in-place "transfer", XLA fuses the construction
+into the factorization's first touch.
+
+Sign conventions follow ``madnlp_tpu.ipm.kernels`` (positive slacks
+``dl = x - xl``, ``du = xu - x``); the algebra was re-derived in those terms
+and is verified by the KKT round-trip contract test
+(tests/test_kkt.py, mirroring lib/MadNLPTests/src/MadNLPTests.jl:53-110).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dense_solvers as ds
+from ..ops.refine import solve_refine
+from ..utils.options import LinearSolver, MadNLPOptions
+from .vec import KKTVec
+
+
+class KKTContext(NamedTuple):
+    """Per-iteration numeric payload of the KKT system."""
+
+    hess: jax.Array      # (n, n) Lagrangian Hessian (x block)
+    jac: jax.Array       # (m, nw) augmented Jacobian [J, -E]
+    pr_diag: jax.Array   # (nw,) primal diagonal  Σ + reg
+    du_diag: jax.Array   # (m,) dual diagonal (≤ 0)
+    reg: jax.Array       # (nw,) primal regularization part of pr_diag
+    dl: jax.Array        # (nw,) masked x - xl
+    du_: jax.Array       # (nw,) masked xu - x
+    zl: jax.Array        # (nw,)
+    zu: jax.Array        # (nw,)
+    factor: ds.DenseFactor
+
+
+class DenseKKT:
+    """Static wrapper: holds the problem structure + options, provides pure
+    functions over :class:`KKTContext`."""
+
+    def __init__(self, prob, opts: MadNLPOptions):
+        self.prob = prob
+        self.opts = opts
+        self.solver = opts.linear_solver
+
+    # -- diagonals (set_aug_diagonal!, kernels.jl:4-27) --------------------
+
+    def aug_diagonals(self, reg, du_diag, dl, du_, zl, zu):
+        p = self.prob
+        lb = jnp.asarray(p.lb_mask)
+        ub = jnp.asarray(p.ub_mask)
+        pr_diag = (
+            reg
+            + jnp.where(lb, zl / dl, 0.0)
+            + jnp.where(ub, zu / du_, 0.0)
+        )
+        return pr_diag, du_diag
+
+    # -- assembly + factorization -----------------------------------------
+
+    def build_and_factorize(
+        self, hess, jac, reg, du_diag, dl, du_, zl, zu
+    ) -> KKTContext:
+        p = self.prob
+        pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
+        n, nw, m = p.n, p.nw, p.m
+        W = jnp.zeros((nw, nw), hess.dtype).at[:n, :n].set(hess)
+        W = W + jnp.diag(pr_diag)
+        K = jnp.block(
+            [
+                [W, jac.T],
+                [jac, jnp.diag(du_diag)],
+            ]
+        ) if m > 0 else W
+        factor = ds.factorize(K, self.solver, block=self.opts.ldl_block_size)
+        return KKTContext(
+            hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
+            dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
+        )
+
+    # -- inertia -----------------------------------------------------------
+
+    def inertia(self, ctx: KKTContext):
+        return ds.inertia(ctx.factor)
+
+    def is_inertia_correct(self, pos, zero, neg):
+        """num_pos == num_variables && num_zero == 0 (KKTsystem.jl:242-244)."""
+        return (zero == 0) & (pos == self.prob.nw)
+
+    def has_inertia(self) -> bool:
+        return ds.has_inertia(self.solver)
+
+    # -- solve -------------------------------------------------------------
+
+    def reduce_rhs(self, ctx: KKTContext, w: KKTVec) -> KKTVec:
+        """Fold bound-dual rows into the primal RHS (kernels.jl:182-195)."""
+        p = self.prob
+        lb, ub = jnp.asarray(p.lb_mask), jnp.asarray(p.ub_mask)
+        xp = (
+            w.xp
+            + jnp.where(lb, w.zl / ctx.dl, 0.0)
+            + jnp.where(ub, w.zu / ctx.du_, 0.0)
+        )
+        return w._replace(xp=xp)
+
+    def finish_aug_solve(self, ctx: KKTContext, w: KKTVec, pzl, pzu) -> KKTVec:
+        """Recover Δν, Δw from the reduced solution (kernels.jl:198-204)."""
+        p = self.prob
+        lb, ub = jnp.asarray(p.lb_mask), jnp.asarray(p.ub_mask)
+        dzl = jnp.where(lb, (pzl - ctx.zl * w.xp) / ctx.dl, 0.0)
+        dzu = jnp.where(ub, (ctx.zu * w.xp - pzu) / ctx.du_, 0.0)
+        return w._replace(zl=dzl, zu=dzu)
+
+    def solve(self, ctx: KKTContext, b: KKTVec) -> KKTVec:
+        """solve_kkt! for the reduced dense system
+        (src/IPM/factorization.jl:41-46)."""
+        m = self.prob.m
+        w = self.reduce_rhs(ctx, b)
+        if m > 0:
+            rhs = jnp.concatenate([w.xp, w.y])
+            sol = ds.solve(ctx.factor, rhs)
+            w = w._replace(xp=sol[: self.prob.nw], y=sol[self.prob.nw :])
+        else:
+            w = w._replace(xp=ds.solve(ctx.factor, w.xp))
+        return self.finish_aug_solve(ctx, w, b.zl, b.zu)
+
+    # -- operator application (for iterative refinement) -------------------
+
+    def mul(self, ctx: KKTContext, v: KKTVec) -> KKTVec:
+        """w = K v with the *unreduced* operator (factorization.jl:303-324 +
+        _kktmul!, kernels.jl:161-180), in positive-slack convention."""
+        p = self.prob
+        lb, ub = jnp.asarray(p.lb_mask), jnp.asarray(p.ub_mask)
+        n = p.n
+        hv = ctx.hess @ v.xp[:n]
+        wx = jnp.concatenate([hv, jnp.zeros((p.nw - n,), hv.dtype)])
+        wx = wx + ctx.reg * v.xp
+        if p.m > 0:
+            wx = wx + ctx.jac.T @ v.y
+            wy = ctx.jac @ v.xp + ctx.du_diag * v.y
+        else:
+            wy = v.y
+        wx = wx - jnp.where(lb, v.zl, 0.0) + jnp.where(ub, v.zu, 0.0)
+        wzl = jnp.where(lb, ctx.zl * v.xp + ctx.dl * v.zl, 0.0)
+        wzu = jnp.where(ub, ctx.zu * v.xp - ctx.du_ * v.zu, 0.0)
+        return KKTVec(xp=wx, y=wy, zl=wzl, zu=wzu)
+
+    def mul_hess_blk(self, ctx: KKTContext, t):
+        """wx = (W + Σ) t for the inertia-free curvature test
+        (factorization.jl:326-331)."""
+        p = self.prob
+        n = p.n
+        ht = ctx.hess @ t[:n]
+        wx = jnp.concatenate([ht, jnp.zeros((p.nw - n,), ht.dtype)])
+        return wx + t * ctx.pr_diag
+
+    # -- refined solve -----------------------------------------------------
+
+    def solve_refine(self, ctx: KKTContext, b: KKTVec):
+        return solve_refine(
+            lambda w: self.solve(ctx, w),
+            lambda x: self.mul(ctx, x),
+            b,
+            max_iter=self.opts.richardson.max_iter,
+            tol=self.opts.richardson_tol,
+            acceptable_tol=self.opts.richardson_acceptable_tol,
+        )
+
+    def jtprod(self, jac, y):
+        """jacl = Aᵀ y over the full primal space."""
+        if self.prob.m == 0:
+            return jnp.zeros((self.prob.nw,), jac.dtype)
+        return jac.T @ y

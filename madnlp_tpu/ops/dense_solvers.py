@@ -113,8 +113,11 @@ def inertia(factor: DenseFactor) -> Tuple[jax.Array, jax.Array, jax.Array]:
             zero,
         )
     if kind == "evd":
+        # Absolute tiny threshold, consistent with the LDLᵀ backend: IPM KKT
+        # spectra legitimately span ~1e-8..1e8 near convergence, so a
+        # relative eps*max|λ| cutoff misclassifies valid small eigenvalues.
         w = factor.b
-        tol = jnp.finfo(w.dtype).eps * jnp.maximum(1.0, jnp.max(jnp.abs(w)))
+        tol = _ldlt.ZERO_PIVOT_TOL
         pos = jnp.sum(w > tol)
         neg = jnp.sum(w < -tol)
         return pos, n - pos - neg, neg

@@ -239,7 +239,9 @@ class MadNLPOptions:
         the GPU preset flip in lib/MadNLPGPU/ext/MadNLPGPUCUDAExt/cuda.jl:5-22)."""
         kkt = self.kkt_system
         if kkt is None:
-            kkt = KKTSystem.DENSE_CONDENSED if dense_callback else KKTSystem.SPARSE
+            # TODO(flip to DENSE_CONDENSED/SPARSE once those KKT paths land —
+            # reference preset: options.jl:209-228)
+            kkt = KKTSystem.DENSE
         lin = self.linear_solver
         if lin is None:
             lin = (

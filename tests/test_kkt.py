@@ -1,0 +1,141 @@
+"""KKT-system contract test — the single most valuable pattern from the
+reference test harness (``lib/MadNLPTests/src/MadNLPTests.jl:53-110``):
+assemble → factorize → solve on an all-ones RHS, then verify the round trip
+``K · x ≈ 1`` through the *unreduced* operator, plus inertia correctness."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madnlp_tpu.ipm.problem import Scaling, build_problem
+from madnlp_tpu.kkt.dense import DenseKKT
+from madnlp_tpu.kkt.vec import KKTVec, norm_inf
+from madnlp_tpu.models.instances import dummy_qp, hs15
+from madnlp_tpu.utils.options import KKTSystem, LinearSolver, MadNLPOptions
+from madnlp_tpu.ipm import kernels as K
+
+
+def make_ctx(model, solver=LinearSolver.LDL):
+    opts = MadNLPOptions(linear_solver=solver, kkt_system=KKTSystem.DENSE).resolve(
+        dense_callback=True, m=model.m
+    )
+    prob = build_problem(model, opts)
+    kkt = DenseKKT(prob, opts)
+
+    rng = np.random.default_rng(0)
+    # interior point: midpoint of bounds where bounded, else 0.3
+    xl, xu = prob.xl0.copy(), prob.xu0.copy()
+    w0 = np.where(
+        prob.lb_mask & prob.ub_mask,
+        0.5 * (xl + xu),
+        np.where(prob.lb_mask, xl + 1.0, np.where(prob.ub_mask, xu - 1.0, 0.3)),
+    )
+    scal = Scaling(jnp.ones(()), jnp.ones((prob.m,)))
+    y = jnp.asarray(rng.standard_normal(prob.m))
+    jac = prob.eval_jac(scal, jnp.asarray(w0))
+    hess = prob.eval_lag_hess(scal, jnp.asarray(w0), y)
+
+    dl, du_ = K.slacks(
+        jnp.asarray(w0), jnp.asarray(xl), jnp.asarray(xu),
+        jnp.asarray(prob.lb_mask), jnp.asarray(prob.ub_mask),
+    )
+    zl = jnp.where(jnp.asarray(prob.lb_mask), 1.0, 0.0)
+    zu = jnp.where(jnp.asarray(prob.ub_mask), 1.0, 0.0)
+    reg = jnp.full((prob.nw,), 1.0)  # _set_aug_diagonal w/ unit regularization
+    du_diag = jnp.zeros((prob.m,))
+    ctx = kkt.build_and_factorize(hess, jac, reg, du_diag, dl, du_, zl, zu)
+    return prob, kkt, ctx
+
+
+@pytest.mark.parametrize("model_fn", [hs15.build, lambda: dummy_qp.build(20, 5)])
+@pytest.mark.parametrize("solver", [LinearSolver.LDL, LinearSolver.EVD])
+def test_kkt_roundtrip(model_fn, solver):
+    model = model_fn()
+    prob, kkt, ctx = make_ctx(model, solver)
+    ones = KKTVec(
+        xp=jnp.ones((prob.nw,)),
+        y=jnp.ones((prob.m,)),
+        zl=jnp.where(jnp.asarray(prob.lb_mask), 1.0, 0.0),
+        zu=jnp.where(jnp.asarray(prob.ub_mask), 1.0, 0.0),
+    )
+    x = kkt.solve(ctx, ones)
+    back = kkt.mul(ctx, x)
+    err = max(
+        float(jnp.max(jnp.abs(back.xp - ones.xp))),
+        float(jnp.max(jnp.abs(back.y - ones.y))) if prob.m else 0.0,
+        float(jnp.max(jnp.abs(back.zl - ones.zl))),
+        float(jnp.max(jnp.abs(back.zu - ones.zu))),
+    )
+    assert err < 1e-8
+
+
+def test_kkt_inertia_correct_after_regularization():
+    # SPD Hessian (QP with P = PPᵀ + 100 I) ⇒ saddle inertia (nw, 0, m).
+    model = dummy_qp.build(20, 5)
+    prob, kkt, ctx = make_ctx(model)
+    pos, zero, neg = kkt.inertia(ctx)
+    # with unit primal regularization and unit duals the system is a standard
+    # regularized saddle point: expect (nw, 0, m)
+    assert bool(kkt.is_inertia_correct(pos, zero, neg))
+    assert int(neg) == prob.m
+
+
+def test_refined_solve_tolerance():
+    model = dummy_qp.build(30, 6)
+    prob, kkt, ctx = make_ctx(model)
+    b = KKTVec(
+        xp=jnp.ones((prob.nw,)),
+        y=jnp.full((prob.m,), 0.5),
+        zl=jnp.where(jnp.asarray(prob.lb_mask), -1.0, 0.0),
+        zu=jnp.where(jnp.asarray(prob.ub_mask), 2.0, 0.0),
+    )
+    x, converged, iters = kkt.solve_refine(ctx, b)
+    assert bool(converged)
+    r = KKTVec(*(bb - kk for bb, kk in zip(b, kkt.mul(ctx, x))))
+    assert float(norm_inf(r)) < 1e-8
+
+
+def test_problem_reformulation_hs15():
+    model = hs15.build()
+    opts = MadNLPOptions().resolve(dense_callback=True, m=2)
+    prob = build_problem(model, opts)
+    # two inequality rows -> two slacks
+    assert prob.ns == 2 and prob.nw == 4 and prob.n_eq == 0
+    # bounds: x1 <= 0.5 (ub), slacks: s1 >= 1, s2 >= 0
+    np.testing.assert_array_equal(prob.lb_mask, [False, False, True, True])
+    np.testing.assert_array_equal(prob.ub_mask, [True, False, False, False])
+    scal = Scaling(jnp.ones(()), jnp.ones((2,)))
+    w = jnp.array([0.3, 2.0, 1.1, 0.7])
+    c = prob.eval_cons(scal, w)
+    np.testing.assert_allclose(np.asarray(c), [0.3 * 2.0 - 1.1, 0.3 + 4.0 - 0.7])
+    J = prob.eval_jac(scal, w)
+    np.testing.assert_allclose(
+        np.asarray(J), [[2.0, 0.3, -1.0, 0.0], [1.0, 4.0, 0.0, -1.0]]
+    )
+
+
+def test_problem_equality_rows():
+    model = dummy_qp.build(12, 4, equality_cons=[1, 2])
+    opts = MadNLPOptions().resolve(dense_callback=True, m=4)
+    prob = build_problem(model, opts)
+    assert prob.ns == 2 and prob.n_eq == 2
+    np.testing.assert_array_equal(prob.slack_sel, [0, 3])
+    np.testing.assert_array_equal(prob.rhs, [0.0, 0.0, 0.0, 0.0])
+
+
+def test_fixed_variables_make_parameter():
+    model = dummy_qp.build(12, 4, fixed_variables=[2, 5])
+    opts = MadNLPOptions().resolve(dense_callback=True, m=4)
+    prob = build_problem(model, opts)
+    np.testing.assert_array_equal(np.nonzero(prob.fixed_mask)[0], [2, 5])
+    # fixed variables freed of bounds
+    assert not prob.lb_mask[2] and not prob.ub_mask[5]
+    scal = Scaling(jnp.ones(()), jnp.ones((4,)))
+    w = jnp.full((prob.nw,), 0.4)
+    J = prob.eval_jac(scal, w)
+    assert float(jnp.max(jnp.abs(J[:, 2]))) == 0.0
+    H = prob.eval_lag_hess(scal, w, jnp.zeros(4))
+    assert float(H[2, 2]) == 1.0 and float(jnp.max(jnp.abs(H[2, :2]))) == 0.0
+    g = prob.eval_grad(scal, w)
+    # proximal pull: grad[fixed] = x - x_fixed
+    np.testing.assert_allclose(float(g[2]), 0.4 - 1.0)
