@@ -23,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kkt.condensed_dense import DenseCondensedKKT
+from ..kkt.dense import DenseKKT
 from ..models.model import DenseNLPModel, SparseNLPModel
-from ..utils.options import MadNLPOptions, PrintLevel
+from ..utils.options import KKTSystem, LinearSolver, MadNLPOptions, PrintLevel
 from ..utils.status import Status, get_status_output, is_success
 from . import kernels as K
 from .problem import build_problem
@@ -69,7 +71,30 @@ class MadNLPSolver:
         opts = options if options is not None else MadNLPOptions(**kwargs)
         self.opts = opts.resolve(dense_callback=model.is_dense, m=model.m)
         self.prob = build_problem(model, self.opts)
-        self.kernel = Kernel(self.prob, self.opts)
+        # pick the default linear solver once n_eq is known: condensed systems
+        # are SPD without equality rows -> Cholesky; otherwise LDLᵀ
+        if self.opts.linear_solver is None or opts.linear_solver is None:
+            kkt_sys = self.opts.kkt_system
+            if kkt_sys in (KKTSystem.DENSE_CONDENSED, KKTSystem.SPARSE_CONDENSED):
+                lin = (
+                    LinearSolver.CHOLESKY
+                    if self.prob.n_eq == 0
+                    else LinearSolver.LDL
+                )
+            else:
+                lin = LinearSolver.LDL
+            self.opts = dataclasses.replace(self.opts, linear_solver=lin)
+        kkt_cls = {
+            KKTSystem.DENSE: DenseKKT,
+            KKTSystem.DENSE_CONDENSED: DenseCondensedKKT,
+            KKTSystem.SPARSE_CONDENSED: DenseCondensedKKT,  # dense storage for now
+        }.get(self.opts.kkt_system)
+        if kkt_cls is None:
+            raise NotImplementedError(
+                f"KKT system {self.opts.kkt_system} not implemented yet"
+            )
+        kkt = kkt_cls(self.prob, self.opts)
+        self.kernel = Kernel(self.prob, self.opts, kkt=kkt)
         self._init_fn = jax.jit(self.kernel.initialize)
         self._regular = jax.jit(self.kernel.regular_step)
         self._restore = jax.jit(self.kernel.restore_step)

@@ -239,9 +239,8 @@ class MadNLPOptions:
         the GPU preset flip in lib/MadNLPGPU/ext/MadNLPGPUCUDAExt/cuda.jl:5-22)."""
         kkt = self.kkt_system
         if kkt is None:
-            # TODO(flip to DENSE_CONDENSED/SPARSE once those KKT paths land —
-            # reference preset: options.jl:209-228)
-            kkt = KKTSystem.DENSE
+            # smart preset (options.jl:209-228): dense callbacks condense
+            kkt = KKTSystem.DENSE_CONDENSED if dense_callback else KKTSystem.SPARSE
         lin = self.linear_solver
         if lin is None:
             lin = (
