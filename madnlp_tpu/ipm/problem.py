@@ -110,13 +110,31 @@ class Problem:
             return jnp.zeros((0,), dtype=c.dtype)
         return c[jnp.asarray(self.slack_sel)]
 
-    def eval_obj(self, scal: Scaling, w):
-        return self.sign * scal.obj_scale * self.model.obj(self.x_of(w))
+    # model call helpers: parametric models take (x, ..., params)
+    def _obj(self, x, theta):
+        return self.model.obj(x, theta) if self.model.is_parametric else self.model.obj(x)
 
-    def eval_grad(self, scal: Scaling, w):
+    def _grad(self, x, theta):
+        return self.model.grad(x, theta) if self.model.is_parametric else self.model.grad(x)
+
+    def _cons(self, x, theta):
+        return self.model.cons(x, theta) if self.model.is_parametric else self.model.cons(x)
+
+    def _jac(self, x, theta):
+        return self.model.jac(x, theta) if self.model.is_parametric else self.model.jac(x)
+
+    def _lag_hess(self, x, y, ow, theta):
+        if self.model.is_parametric:
+            return self.model.lag_hess(x, y, ow, theta)
+        return self.model.lag_hess(x, y, ow)
+
+    def eval_obj(self, scal: Scaling, w, theta=None):
+        return self.sign * scal.obj_scale * self._obj(self.x_of(w), theta)
+
+    def eval_grad(self, scal: Scaling, w, theta=None):
         """(nw,) gradient; slack part is zero."""
         x = self.x_of(w)
-        g = scal.obj_scale * self.model.grad(x)
+        g = scal.obj_scale * self._grad(x, theta)
         if self.fixed_mask.any():
             # MakeParameter (dense): proximal pull to the fixed value
             # (nlpmodels.jl:1019-1034)
@@ -125,20 +143,20 @@ class Problem:
         g = self.sign * g
         return jnp.concatenate([g, jnp.zeros((self.ns,), g.dtype)])
 
-    def eval_cons(self, scal: Scaling, w):
+    def eval_cons(self, scal: Scaling, w, theta=None):
         """(m,) internal constraints c(w) (src/IPM/callbacks.jl:39-55)."""
         if self.m == 0:
             return jnp.zeros((0,), w.dtype)
         x, s = self.x_of(w), self.s_of(w)
-        c = scal.con_scale * self.model.cons(x)
+        c = scal.con_scale * self._cons(x, theta)
         c = c - self.scatter_slack(s)
         c = c - scal.con_scale * jnp.asarray(self.rhs)
         return c
 
-    def eval_jac(self, scal: Scaling, w):
+    def eval_jac(self, scal: Scaling, w, theta=None):
         """(m, nw) augmented Jacobian [s_g ∘ J(x), -E]."""
         x = self.x_of(w)
-        J = scal.con_scale[:, None] * self.model.jac(x)
+        J = scal.con_scale[:, None] * self._jac(x, theta)
         if self.fixed_mask.any():
             J = jnp.where(jnp.asarray(self.fixed_mask)[None, :], 0.0, J)
         E = jnp.zeros((self.m, self.ns), dtype=J.dtype)
@@ -146,18 +164,18 @@ class Problem:
             E = E.at[jnp.asarray(self.slack_sel), jnp.arange(self.ns)].set(-1.0)
         return jnp.concatenate([J, E], axis=1)
 
-    def eval_lag_hess(self, scal: Scaling, w, y, is_resto: bool = False):
+    def eval_lag_hess(self, scal: Scaling, w, y, theta=None, is_resto: bool = False):
         """(n, n) Lagrangian Hessian in the scaled space."""
         x = self.x_of(w)
         obj_weight = (0.0 if is_resto else 1.0) * self.sign * scal.obj_scale
-        H = self.model.lag_hess(x, y * scal.con_scale, obj_weight)
+        H = self._lag_hess(x, y * scal.con_scale, obj_weight, theta)
         if self.fixed_mask.any():
             fm = jnp.asarray(self.fixed_mask)
             H = jnp.where(fm[:, None] | fm[None, :], 0.0, H)
             H = H + jnp.diag(jnp.where(fm, 1.0, 0.0))
         return H
 
-    def compute_scaling(self, w0) -> Scaling:
+    def compute_scaling(self, w0, theta=None) -> Scaling:
         """nlpmodels.jl:225-264: row-max Jacobian scaling + gradient scaling."""
         dtype = w0.dtype
         if not self.opts.nlp_scaling:
@@ -165,12 +183,12 @@ class Problem:
         unit = Scaling(jnp.ones((), dtype), jnp.ones((self.m,), dtype))
         max_g = self.opts.nlp_scaling_max_gradient
         if self.m > 0:
-            J = self.eval_jac(unit, w0)[:, : self.n]
+            J = self.eval_jac(unit, w0, theta)[:, : self.n]
             row_max = jnp.maximum(jnp.max(jnp.abs(J), axis=1), 1.0)
             con_scale = jnp.minimum(1.0, max_g / row_max)
         else:
             con_scale = jnp.ones((0,), dtype)
-        g = self.model.grad(self.x_of(w0))
+        g = self._grad(self.x_of(w0), theta)
         gnorm = jnp.max(jnp.abs(g)) if self.n else jnp.ones((), dtype)
         obj_scale = jnp.minimum(1.0, max_g / jnp.maximum(gnorm, 1e-300))
         return Scaling(obj_scale, con_scale)

@@ -100,6 +100,7 @@ class MadNLPSolver:
         self._restore = jax.jit(self.kernel.restore_step)
         self._robust = jax.jit(self.kernel.robust_step)
         self._solve_jit = None
+        self._whole_fn = None
         self.state: Optional[State] = None
 
     # ------------------------------------------------------------------
@@ -138,10 +139,10 @@ class MadNLPSolver:
 
     # ------------------------------------------------------------------
 
-    def solve(self, max_wall_time: Optional[float] = None) -> ExecutionStats:
+    def solve(self, params=None, max_wall_time: Optional[float] = None) -> ExecutionStats:
         t0 = time.time()
         max_wt = max_wall_time if max_wall_time is not None else self.opts.max_wall_time
-        st = self._init_fn()
+        st = self._init_fn(() if params is None else params)
         status = int(st.status)
         while status in _ACTIVE:
             is_resto = status == int(Status.ROBUST)
@@ -162,14 +163,21 @@ class MadNLPSolver:
             print(f"EXIT: {get_status_output(stats.status, self.opts.tol, self.opts.acceptable_tol)}")
         return stats
 
-    def solve_jitted(self, max_iter_hint: Optional[int] = None) -> ExecutionStats:
+    def solve_jitted(self, params=None) -> ExecutionStats:
         """Whole solve as one XLA computation (no host round trips)."""
         t0 = time.time()
+        self._build_solve_jit()
+        st = self._solve_jit(() if params is None else params)
+        st.status.block_until_ready()
+        self.state = st
+        return self._stats(st, time.time() - t0)
+
+    def _build_solve_jit(self):
         if self._solve_jit is None:
             kern = self.kernel
 
-            def whole(_):
-                st = kern.initialize()
+            def whole(theta):
+                st = kern.initialize(theta)
 
                 def cond(st):
                     return (
@@ -191,11 +199,28 @@ class MadNLPSolver:
 
                 return jax.lax.while_loop(cond, body, st)
 
+            self._whole_fn = whole
             self._solve_jit = jax.jit(whole)
-        st = self._solve_jit(0)
+        return self._whole_fn
+
+    def solve_batch(self, params_batch, sharding=None):
+        """Solve a batch of same-structure instances with one ``vmap``-ed XLA
+        computation — the analogue of cuDSS uniform batching
+        (ext/MadNLPGPUCUDAExt/cudss.jl:139-148) lifted to the whole solver.
+
+        ``params_batch``: pytree stacked along a leading batch axis.
+        ``sharding``: optional ``jax.sharding.NamedSharding`` for the batch
+        axis (data-parallel over a device mesh).
+
+        Returns the final batched :class:`State`; summary arrays via
+        :func:`batch_summary`."""
+        whole = self._build_solve_jit()
+        fn = jax.jit(jax.vmap(whole))
+        if sharding is not None:
+            params_batch = jax.device_put(params_batch, sharding)
+        st = fn(params_batch)
         st.status.block_until_ready()
-        self.state = st
-        return self._stats(st, time.time() - t0)
+        return st
 
     # ------------------------------------------------------------------
 
@@ -208,18 +233,19 @@ class MadNLPSolver:
         y = np.asarray(st.y) * con_scale * (p.sign / obj_scale)
         zl = np.asarray(st.zl[: p.n]) / obj_scale
         zu = np.asarray(st.zu[: p.n]) / obj_scale
+        theta = st.theta if p.model.is_parametric else None
         if p.fixed_mask.any():
             # recover bound multipliers on fixed variables
             # (update_z!, nlpmodels.jl:1075-1087)
             xj = jnp.asarray(x)
-            g = np.asarray(p.model.grad(xj))
+            g = np.asarray(p._grad(xj, theta))
             if p.m > 0:
-                jtv = np.asarray(p.model.jac(xj)).T @ (np.asarray(st.y) * con_scale)
+                jtv = np.asarray(p._jac(xj, theta)).T @ (np.asarray(st.y) * con_scale)
                 g = g + jtv
             fm = p.fixed_mask
             zl[fm] = np.maximum(0.0, p.sign * g[fm])
             zu[fm] = np.maximum(0.0, -p.sign * g[fm])
-        cons = np.asarray(p.model.cons(jnp.asarray(x))) if p.m else np.zeros(0)
+        cons = np.asarray(p._cons(jnp.asarray(x), theta)) if p.m else np.zeros(0)
         counters = {
             "k": int(st.k),
             "obj_cnt": int(st.obj_cnt),
@@ -247,6 +273,20 @@ class MadNLPSolver:
         )
 
 
+def batch_summary(prob, st) -> dict:
+    """Summary arrays for a batched solve (leading batch axis)."""
+    obj_scale = np.asarray(st.scal.obj_scale)
+    return {
+        "status": np.asarray(st.status),
+        "iter": np.asarray(st.k),
+        "objective": prob.sign * np.asarray(st.obj_val) / obj_scale,
+        "inf_pr": np.asarray(st.inf_pr),
+        "inf_du": np.asarray(st.inf_du),
+        "x": np.asarray(st.x[..., : prob.n]),
+    }
+
+
 def madnlp(model, **kwargs) -> ExecutionStats:
     """Build a solver and run it — mirror of ``madnlp(nlp; kwargs...)``."""
-    return MadNLPSolver(model, **kwargs).solve()
+    params = kwargs.pop("params", None)
+    return MadNLPSolver(model, **kwargs).solve(params=params)

@@ -150,9 +150,11 @@ class State(NamedTuple):
     rr_init_needed: jax.Array  # bool: ROBUST entered, restorer not yet set up
     # adaptive barrier state
     barrier_free_mode: jax.Array  # bool
+    # instance parameters (parametric/batched mode; () when unused)
+    theta: object
 
 
-def state_zeros(nw: int, m: int, n: int, filter_capacity: int) -> State:
+def state_zeros(nw: int, m: int, n: int, filter_capacity: int, theta=()) -> State:
     z = jnp.zeros(())
     i0 = jnp.zeros((), jnp.int32)
     return State(
@@ -210,4 +212,5 @@ def state_zeros(nw: int, m: int, n: int, filter_capacity: int) -> State:
         RR=rr_zeros(nw, m, filter_capacity),
         rr_init_needed=jnp.asarray(False),
         barrier_free_mode=jnp.asarray(True),
+        theta=theta,
     )

@@ -87,18 +87,19 @@ class Kernel:
         return inf_pr, inf_du, inf_compl
 
     def eval_obj(self, st, w):
-        return self.prob.eval_obj(st.scal, w)
+        return self.prob.eval_obj(st.scal, w, st.theta)
 
     def eval_cons(self, st, w):
-        return self.prob.eval_cons(st.scal, w)
+        return self.prob.eval_cons(st.scal, w, st.theta)
 
     # ------------------------------------------------------------------
     # initialization (solver.jl:14-77 + nlpmodels.jl:593-636)
     # ------------------------------------------------------------------
 
-    def initialize(self) -> State:
+    def initialize(self, theta=()) -> State:
         p, o = self.prob, self.opts
-        st = state_zeros(p.nw, p.m, p.n, o.filter_capacity)
+        st = state_zeros(p.nw, p.m, p.n, o.filter_capacity, theta=theta)
+        theta_arg = theta if p.model.is_parametric else None
 
         xl = jnp.asarray(p.xl0)
         xu = jnp.asarray(p.xu0)
@@ -111,7 +112,10 @@ class Kernel:
         xl, xu = K.set_initial_bounds(xl, xu, self.lb, self.ub, o.bound_relax_factor)
 
         # variable part init
-        x0 = jnp.asarray(p.model.x0)
+        if p.model.x0_fn is not None:
+            x0 = p.model.x0_fn(theta)
+        else:
+            x0 = jnp.asarray(p.model.x0)
         if p.fixed_mask.any():
             x0 = jnp.where(jnp.asarray(p.fixed_mask), jnp.asarray(p.xl_fixed), x0)
         xv = K.initialize_variables(
@@ -120,8 +124,7 @@ class Kernel:
         )
 
         # slack init from unscaled constraint values (nlpmodels.jl:626-636)
-        unit = Scaling(jnp.ones(()), jnp.ones((p.m,)))
-        g0 = p.model.cons(xv) if p.m else jnp.zeros((0,))
+        g0 = p._cons(xv, theta_arg) if p.m else jnp.zeros((0,))
         s0 = p.gather_ineq(g0)
         s0 = K.initialize_variables(
             s0, xl[p.n :], xu[p.n :], self.lb[p.n :], self.ub[p.n :],
@@ -134,7 +137,7 @@ class Kernel:
         y0 = jnp.asarray(p.model.y0) * p.sign
 
         # scaling (computed at the pushed initial point, nlpmodels.jl:693-765)
-        scal = p.compute_scaling(w0)
+        scal = p.compute_scaling(w0, theta_arg)
         if not o.nlp_scaling:
             scal = Scaling(jnp.ones(()), jnp.ones((p.m,)))
         # y0 and slack values/bounds move into the scaled space
@@ -151,11 +154,11 @@ class Kernel:
         )
 
         # first evaluations
-        jac = p.eval_jac(scal, w0)
-        f = p.eval_grad(scal, w0)
-        obj = p.eval_obj(scal, w0)
-        c = p.eval_cons(scal, w0)
-        hess = p.eval_lag_hess(scal, w0, y0)
+        jac = p.eval_jac(scal, w0, theta_arg)
+        f = p.eval_grad(scal, w0, theta_arg)
+        obj = p.eval_obj(scal, w0, theta_arg)
+        c = p.eval_cons(scal, w0, theta_arg)
+        hess = p.eval_lag_hess(scal, w0, y0, theta_arg)
         st = st._replace(
             jac=jac, f=f, obj_val=obj, c=c, hess=hess,
             jacl=self.kkt.jtprod(jac, y0),
@@ -776,7 +779,7 @@ class Kernel:
             st = lax.cond(
                 st.k > 0,
                 lambda s: s._replace(
-                    jac=p.eval_jac(s.scal, s.x), jac_cnt=s.jac_cnt + 1
+                    jac=p.eval_jac(s.scal, s.x, s.theta), jac_cnt=s.jac_cnt + 1
                 ),
                 lambda s: s,
                 st,
@@ -809,7 +812,7 @@ class Kernel:
                 st = lax.cond(
                     st.k > 0,
                     lambda s: s._replace(
-                        hess=p.eval_lag_hess(s.scal, s.x, s.y),
+                        hess=p.eval_lag_hess(s.scal, s.x, s.y, s.theta),
                         hess_cnt=s.hess_cnt + 1,
                     ),
                     lambda s: s,
@@ -843,7 +846,7 @@ class Kernel:
                     st = st._replace(
                         x=x, y=y, zl=zl, zu=zu, xl=xl, xu=xu,
                         c=st.c_trial, obj_val=st.obj_val_trial,
-                        f=p.eval_grad(st.scal, x),
+                        f=p.eval_grad(st.scal, x, st.theta),
                         grad_cnt=st.grad_cnt + 1,
                         k=st.k + 1,
                         status=_i32(S.REGULAR),
@@ -899,9 +902,9 @@ class Kernel:
         zu = st.zu + alpha * d.zu
 
         c = self.eval_cons(st, x)
-        f = p.eval_grad(st.scal, x)
+        f = p.eval_grad(st.scal, x, st.theta)
         obj = self.eval_obj(st, x)
-        jac = st.jac if o.jacobian_constant else p.eval_jac(st.scal, x)
+        jac = st.jac if o.jacobian_constant else p.eval_jac(st.scal, x, st.theta)
         jacl = self.kkt.jtprod(jac, y)
         st = st._replace(
             x=x, y=y, zl=zl, zu=zu, c=c, f=f, obj_val=obj, jac=jac, jacl=jacl,
@@ -947,7 +950,7 @@ class Kernel:
                 )
                 if not o.hessian_constant:
                     st = st._replace(
-                        hess=p.eval_lag_hess(st.scal, st.x, st.y),
+                        hess=p.eval_lag_hess(st.scal, st.x, st.y, st.theta),
                         hess_cnt=st.hess_cnt + 1,
                     )
                 p_rhs = self._aug_rhs(st, st.c, st.mu)
@@ -1234,7 +1237,7 @@ class Kernel:
 
         if not o.jacobian_constant:
             st = st._replace(
-                jac=p.eval_jac(st.scal, st.x), jac_cnt=st.jac_cnt + 1
+                jac=p.eval_jac(st.scal, st.x, st.theta), jac_cnt=st.jac_cnt + 1
             )
         st = st._replace(jacl=self.kkt.jtprod(st.jac, st.y))
 
@@ -1267,7 +1270,7 @@ class Kernel:
             st = self._update_monotone_RR(st, sc)
             if not o.hessian_constant:
                 st = st._replace(
-                    hess=p.eval_lag_hess(st.scal, st.x, st.y, is_resto=True),
+                    hess=p.eval_lag_hess(st.scal, st.x, st.y, st.theta, is_resto=True),
                     hess_cnt=st.hess_cnt + 1,
                 )
             p_rhs = self._aug_rhs_RR(st)
@@ -1319,7 +1322,7 @@ class Kernel:
                     )
                     xl, xu = K.adjust_boundary(x, st.xl, st.xu, self.lb, self.ub, st.mu)
                     obj = self.eval_obj(st, x)
-                    f = p.eval_grad(st.scal, x)
+                    f = p.eval_grad(st.scal, x, st.theta)
                     st = st._replace(
                         x=x, y=y, zl=zl, zu=zu, xl=xl, xu=xu,
                         c=st.c_trial, obj_val=obj, f=f,

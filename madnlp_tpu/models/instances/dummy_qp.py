@@ -53,3 +53,35 @@ def build(n=100, m=10, fixed_variables=(), equality_cons=(), seed=1) -> DenseNLP
         ucon=gu,
         name="dense_dummy_qp",
     )
+
+
+def build_parametric(n=100, m=10, seed=1) -> DenseNLPModel:
+    """Parametric variant: the linear objective term ``q`` is the instance
+    parameter, enabling ``vmap``/sharded batches of perturbed instances
+    (SIMD-abstraction-of-NLPs pattern)."""
+    assert m < n
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((n, n))
+    P = P @ P.T + 100.0 * np.eye(n)
+    A = np.zeros((m, n))
+    for i in range(m):
+        A[i, i] = 1.0
+        A[i, i + 1] = -1.0
+    Pj, Aj = jnp.asarray(P), jnp.asarray(A)
+
+    return DenseNLPModel(
+        n=n,
+        m=m,
+        obj=lambda x, q: 0.5 * x @ (Pj @ x) + q @ x,
+        cons=lambda x, q: Aj @ x,
+        grad=lambda x, q: Pj @ x + q,
+        jac=lambda x, q: Aj,
+        lag_hess=lambda x, y, ow, q: ow * Pj,
+        x0=np.zeros(n),
+        lvar=np.zeros(n),
+        uvar=np.ones(n),
+        lcon=np.zeros(m),
+        ucon=np.ones(m),
+        params=np.zeros(n),  # example parameter pytree
+        name="dense_dummy_qp_parametric",
+    )

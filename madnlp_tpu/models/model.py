@@ -36,7 +36,13 @@ def _as_np(x, n, default):
 
 @dataclasses.dataclass
 class DenseNLPModel:
-    """NLP with dense derivative callbacks (AD-backed by default)."""
+    """NLP with dense derivative callbacks (AD-backed by default).
+
+    **Parametric mode** (the SIMD-abstraction-of-NLPs pattern used by
+    ExaModels for MadNLP's batched GPU path, BASELINE.md): if ``params`` is
+    set to an example pytree, every callback takes ``(x, params)`` and the
+    whole solver can be ``vmap``-ed / sharded over stacked parameter
+    batches (e.g. thousands of perturbed scenarios)."""
 
     n: int
     obj: Callable
@@ -50,9 +56,11 @@ class DenseNLPModel:
     y0: Optional[np.ndarray] = None
     grad: Optional[Callable] = None
     jac: Optional[Callable] = None
-    lag_hess: Optional[Callable] = None  # (x, y, obj_weight) -> (n, n)
+    lag_hess: Optional[Callable] = None  # (x, y, obj_weight[, params]) -> (n, n)
     minimize: bool = True
     name: str = "generic"
+    params: object = None          # example parameter pytree (parametric mode)
+    x0_fn: Optional[Callable] = None  # params -> x0 (parametric initial point)
 
     def __post_init__(self):
         self.x0 = np.asarray(self.x0, dtype=np.float64)
@@ -61,33 +69,53 @@ class DenseNLPModel:
         self.lcon = _as_np(self.lcon, self.m, 0.0)
         self.ucon = _as_np(self.ucon, self.m, 0.0)
         self.y0 = _as_np(self.y0, self.m, 0.0)
+        parametric = self.params is not None
         if self.cons is None:
             assert self.m == 0
-            self.cons = lambda x: jnp.zeros((0,), dtype=x.dtype)
+            if parametric:
+                self.cons = lambda x, p: jnp.zeros((0,), dtype=x.dtype)
+            else:
+                self.cons = lambda x: jnp.zeros((0,), dtype=x.dtype)
         if self.grad is None:
-            self.grad = jax.grad(self.obj)
+            self.grad = jax.grad(self.obj, argnums=0)
         if self.jac is None:
             cons = self.cons
-            self.jac = jax.jacfwd(cons) if self.m > 0 else (
-                lambda x: jnp.zeros((0, self.n), dtype=x.dtype)
-            )
+            if self.m > 0:
+                self.jac = jax.jacfwd(cons, argnums=0)
+            elif parametric:
+                self.jac = lambda x, p: jnp.zeros((0, self.n), dtype=x.dtype)
+            else:
+                self.jac = lambda x: jnp.zeros((0, self.n), dtype=x.dtype)
         if self.lag_hess is None:
             obj, cons = self.obj, self.cons
+            if parametric:
+                def lag_hess(x, y, obj_weight, p):
+                    def lagrangian(xx):
+                        val = obj_weight * obj(xx, p)
+                        if self.m > 0:
+                            val = val + jnp.dot(y, cons(xx, p))
+                        return val
 
-            def lag_hess(x, y, obj_weight):
-                def lagrangian(xx):
-                    val = obj_weight * obj(xx)
-                    if self.m > 0:
-                        val = val + jnp.dot(y, cons(xx))
-                    return val
+                    return jax.hessian(lagrangian)(x)
+            else:
+                def lag_hess(x, y, obj_weight):
+                    def lagrangian(xx):
+                        val = obj_weight * obj(xx)
+                        if self.m > 0:
+                            val = val + jnp.dot(y, cons(xx))
+                        return val
 
-                return jax.hessian(lagrangian)(x)
+                    return jax.hessian(lagrangian)(x)
 
             self.lag_hess = lag_hess
 
     @property
     def is_dense(self) -> bool:
         return True
+
+    @property
+    def is_parametric(self) -> bool:
+        return self.params is not None
 
 
 @dataclasses.dataclass
