@@ -23,7 +23,10 @@ def main(n=512, m=128):
     from madnlp_tpu.models.instances import dummy_qp
 
     model = dummy_qp.build(n, m)
-    solver = MadNLPSolver(model)
+    # Mixed precision: f32 factorization + f64 Richardson refinement reaches
+    # tol=1e-8 with iteration counts identical to full f64 (tests/test_mixed
+    # _precision), while avoiding the TPU's emulated-f64 matmul path.
+    solver = MadNLPSolver(model, dtype="float32")
 
     # compile + warmup
     stats = solver.solve_jitted()

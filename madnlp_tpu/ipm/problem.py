@@ -164,6 +164,18 @@ class Problem:
             E = E.at[jnp.asarray(self.slack_sel), jnp.arange(self.ns)].set(-1.0)
         return jnp.concatenate([J, E], axis=1)
 
+    def eval_jtprod_x(self, scal: Scaling, x, y, theta=None):
+        """(n,) J(x)ᵀ y in the scaled space via VJP (quasi-Newton secant
+        path, nlpmodels.jl:790-800)."""
+        if self.m == 0:
+            return jnp.zeros((self.n,), x.dtype)
+        ys = y * scal.con_scale
+        _, vjp = jax.vjp(lambda xx: self._cons(xx, theta), x)
+        (jt,) = vjp(ys)
+        if self.fixed_mask.any():
+            jt = jnp.where(jnp.asarray(self.fixed_mask), 0.0, jt)
+        return jt
+
     def eval_lag_hess(self, scal: Scaling, w, y, theta=None, is_resto: bool = False):
         """(n, n) Lagrangian Hessian in the scaled space."""
         x = self.x_of(w)

@@ -100,6 +100,7 @@ class MadNLPSolver:
         self._restore = jax.jit(self.kernel.restore_step)
         self._robust = jax.jit(self.kernel.robust_step)
         self._solve_jit = None
+        self._solve_batch_jit = None
         self._whole_fn = None
         self.state: Optional[State] = None
 
@@ -215,7 +216,9 @@ class MadNLPSolver:
         Returns the final batched :class:`State`; summary arrays via
         :func:`batch_summary`."""
         whole = self._build_solve_jit()
-        fn = jax.jit(jax.vmap(whole))
+        if self._solve_batch_jit is None:
+            self._solve_batch_jit = jax.jit(jax.vmap(whole))
+        fn = self._solve_batch_jit
         if sharding is not None:
             params_batch = jax.device_put(params_batch, sharding)
         st = fn(params_batch)

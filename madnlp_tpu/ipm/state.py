@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..kkt.vec import KKTVec, kkt_zeros
 from .kernels import Filter, filter_init
 from .problem import Scaling
+from .quasi_newton import QNState, qn_zeros
 
 
 class RRState(NamedTuple):
@@ -152,9 +153,13 @@ class State(NamedTuple):
     barrier_free_mode: jax.Array  # bool
     # instance parameters (parametric/batched mode; () when unused)
     theta: object
+    # quasi-Newton memory
+    qn: QNState
 
 
-def state_zeros(nw: int, m: int, n: int, filter_capacity: int, theta=()) -> State:
+def state_zeros(
+    nw: int, m: int, n: int, filter_capacity: int, theta=(), qn_mem: int = 0
+) -> State:
     z = jnp.zeros(())
     i0 = jnp.zeros((), jnp.int32)
     return State(
@@ -213,4 +218,5 @@ def state_zeros(nw: int, m: int, n: int, filter_capacity: int, theta=()) -> Stat
         rr_init_needed=jnp.asarray(False),
         barrier_free_mode=jnp.asarray(True),
         theta=theta,
+        qn=qn_zeros(n, qn_mem),
     )

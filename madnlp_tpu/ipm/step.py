@@ -33,7 +33,13 @@ from ..utils.options import (
 from ..utils.status import Status
 from . import kernels as K
 from .problem import Problem, Scaling
+from .quasi_newton import (
+    bfgs_update,
+    init_hessian_dense,
+    lbfgs_update,
+)
 from .state import State, RRState, state_zeros
+from ..utils.options import HessianApproximation
 
 # Short aliases for status codes (traced as int32)
 S = Status
@@ -65,6 +71,56 @@ class Kernel:
                 else InertiaCorrection.FREE
             )
         self.inertia_method = m
+        self.hess_approx = opts.hessian_approximation
+        self.qn_mem = (
+            opts.quasi_newton_options.max_history
+            if self.hess_approx == HessianApproximation.COMPACT_LBFGS
+            else 0
+        )
+
+    # ------------------------------------------------------------------
+    # quasi-Newton / exact Hessian refresh (callbacks.jl:145-190)
+    # ------------------------------------------------------------------
+
+    def _refresh_hessian(self, st: State, is_resto: bool = False) -> State:
+        p = self.prob
+        if self.hess_approx == HessianApproximation.EXACT:
+            return st._replace(
+                hess=p.eval_lag_hess(st.scal, st.x, st.y, st.theta, is_resto=is_resto),
+                hess_cnt=st.hess_cnt + 1,
+            )
+
+        theta_arg = st.theta if p.model.is_parametric else None
+        n = p.n
+
+        def secant(st):
+            qn = st.qn
+            sk = st.x[:n] - qn.last_x
+            yk = st.f[:n] - qn.last_g
+            if p.m > 0:
+                yk = yk + st.jacl[:n]
+                yk = yk - p.eval_jtprod_x(st.scal, qn.last_x, st.y, theta_arg)
+            if self.hess_approx == HessianApproximation.COMPACT_LBFGS:
+                hess, qn = lbfgs_update(
+                    st.hess, qn, sk, yk, self.opts.quasi_newton_options
+                )
+            else:
+                hess, qn = bfgs_update(
+                    st.hess, qn, sk, yk,
+                    damped=self.hess_approx == HessianApproximation.DAMPED_BFGS,
+                )
+            return st._replace(hess=hess, qn=qn)
+
+        def init_qn(st):
+            hess = init_hessian_dense(
+                n, st.f[:n], st.obj_val, self.opts.quasi_newton_options.init_value
+            )
+            return st._replace(hess=hess)
+
+        st = lax.cond(st.grad_cnt >= 2, secant, init_qn, st)
+        return st._replace(
+            qn=st.qn._replace(last_x=st.x[:n], last_g=st.f[:n])
+        )
 
     # ------------------------------------------------------------------
     # helpers
@@ -98,7 +154,9 @@ class Kernel:
 
     def initialize(self, theta=()) -> State:
         p, o = self.prob, self.opts
-        st = state_zeros(p.nw, p.m, p.n, o.filter_capacity, theta=theta)
+        st = state_zeros(
+            p.nw, p.m, p.n, o.filter_capacity, theta=theta, qn_mem=self.qn_mem
+        )
         theta_arg = theta if p.model.is_parametric else None
 
         xl = jnp.asarray(p.xl0)
@@ -158,13 +216,24 @@ class Kernel:
         f = p.eval_grad(scal, w0, theta_arg)
         obj = p.eval_obj(scal, w0, theta_arg)
         c = p.eval_cons(scal, w0, theta_arg)
-        hess = p.eval_lag_hess(scal, w0, y0, theta_arg)
+        exact = self.hess_approx == HessianApproximation.EXACT
+        if exact:
+            hess = p.eval_lag_hess(scal, w0, y0, theta_arg)
+        else:
+            # Gilbert-Lemarechal initial estimate (quasi_newton.jl:194-206)
+            hess = init_hessian_dense(
+                p.n, f[: p.n], obj, o.quasi_newton_options.init_value
+            )
         st = st._replace(
             jac=jac, f=f, obj_val=obj, c=c, hess=hess,
             jacl=self.kkt.jtprod(jac, y0),
             obj_cnt=_i32(1), grad_cnt=_i32(1), con_cnt=_i32(1),
-            jac_cnt=_i32(1), hess_cnt=_i32(1),
+            jac_cnt=_i32(1), hess_cnt=_i32(1 if exact else 0),
         )
+        if not exact:
+            st = st._replace(
+                qn=st.qn._replace(last_x=w0[: p.n], last_g=f[: p.n])
+            )
 
         # least-squares dual initialization (solver.jl:86-97)
         if (
@@ -810,13 +879,7 @@ class Kernel:
             # Hessian refresh
             if not o.hessian_constant:
                 st = lax.cond(
-                    st.k > 0,
-                    lambda s: s._replace(
-                        hess=p.eval_lag_hess(s.scal, s.x, s.y, s.theta),
-                        hess_cnt=s.hess_cnt + 1,
-                    ),
-                    lambda s: s,
-                    st,
+                    st.k > 0, self._refresh_hessian, lambda s: s, st
                 )
             # barrier
             st = self.update_barrier_monotone(st, sc)
@@ -949,10 +1012,7 @@ class Kernel:
                     inf_compl_mu=icm,
                 )
                 if not o.hessian_constant:
-                    st = st._replace(
-                        hess=p.eval_lag_hess(st.scal, st.x, st.y, st.theta),
-                        hess_cnt=st.hess_cnt + 1,
-                    )
+                    st = self._refresh_hessian(st)
                 p_rhs = self._aug_rhs(st, st.c, st.mu)
                 ctx = self._factorize(st, jnp.zeros(()), jnp.zeros(()))
                 d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs)
@@ -1269,10 +1329,7 @@ class Kernel:
         def work(st):
             st = self._update_monotone_RR(st, sc)
             if not o.hessian_constant:
-                st = st._replace(
-                    hess=p.eval_lag_hess(st.scal, st.x, st.y, st.theta, is_resto=True),
-                    hess_cnt=st.hess_cnt + 1,
-                )
+                st = self._refresh_hessian(st, is_resto=True)
             p_rhs = self._aug_rhs_RR(st)
             st = st._replace(p=p_rhs)
             ctx, d, ok, st = self.inertia_correction(st, p_rhs, rr=True)

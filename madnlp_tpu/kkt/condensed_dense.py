@@ -66,7 +66,7 @@ class DenseCondensedKKT(DenseKKT):
             )
         else:
             Kc = W
-        factor = ds.factorize(Kc, self.solver, block=self.opts.ldl_block_size)
+        factor = self._factorize_matrix(Kc)
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
@@ -102,10 +102,10 @@ class DenseCondensedKKT(DenseKKT):
         if self.n_eq:
             eq = jnp.asarray(self.eq_sel)
             rhs = jnp.concatenate([xx, wy_full[eq]])
-            sol = ds.solve(ctx.factor, rhs)
+            sol = self._backsolve(ctx.factor, rhs)
             dx, xy = sol[:n], sol[n:]
         else:
-            dx = ds.solve(ctx.factor, xx)
+            dx = self._backsolve(ctx.factor, xx)
             xy = jnp.zeros((0,), dx.dtype)
 
         dual = Jx @ dx

@@ -56,6 +56,17 @@ class DenseKKT:
         self.prob = prob
         self.opts = opts
         self.solver = opts.linear_solver
+        # Mixed precision (the TPU strategy for emulated f64): factorize in
+        # `opts.dtype`, keep the operator + Richardson refinement in f64.
+        self.fact_dtype = jnp.dtype(opts.dtype)
+
+    def _factorize_matrix(self, K):
+        Kf = K.astype(self.fact_dtype)
+        return ds.factorize(Kf, self.solver, block=self.opts.ldl_block_size)
+
+    def _backsolve(self, factor, rhs):
+        out = ds.solve(factor, rhs.astype(self.fact_dtype))
+        return out.astype(rhs.dtype)
 
     # -- diagonals (set_aug_diagonal!, kernels.jl:4-27) --------------------
 
@@ -86,7 +97,7 @@ class DenseKKT:
                 [jac, jnp.diag(du_diag)],
             ]
         ) if m > 0 else W
-        factor = ds.factorize(K, self.solver, block=self.opts.ldl_block_size)
+        factor = self._factorize_matrix(K)
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
@@ -132,10 +143,10 @@ class DenseKKT:
         w = self.reduce_rhs(ctx, b)
         if m > 0:
             rhs = jnp.concatenate([w.xp, w.y])
-            sol = ds.solve(ctx.factor, rhs)
+            sol = self._backsolve(ctx.factor, rhs)
             w = w._replace(xp=sol[: self.prob.nw], y=sol[self.prob.nw :])
         else:
-            w = w._replace(xp=ds.solve(ctx.factor, w.xp))
+            w = w._replace(xp=self._backsolve(ctx.factor, w.xp))
         return self.finish_aug_solve(ctx, w, b.zl, b.zu)
 
     # -- operator application (for iterative refinement) -------------------
