@@ -155,10 +155,14 @@ class State(NamedTuple):
     theta: object
     # quasi-Newton memory
     qn: QNState
+    # persisted KKT context (last factorization; used by adaptive barrier
+    # probing solves, barrier.jl:260-302, which reuse the stale factor)
+    ctx: object
 
 
 def state_zeros(
-    nw: int, m: int, n: int, filter_capacity: int, theta=(), qn_mem: int = 0
+    nw: int, m: int, n: int, filter_capacity: int, theta=(), qn_mem: int = 0,
+    ctx=(),
 ) -> State:
     z = jnp.zeros(())
     i0 = jnp.zeros((), jnp.int32)
@@ -219,4 +223,5 @@ def state_zeros(
         barrier_free_mode=jnp.asarray(True),
         theta=theta,
         qn=qn_zeros(n, qn_mem),
+        ctx=ctx,
     )

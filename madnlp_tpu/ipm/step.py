@@ -33,13 +33,14 @@ from ..utils.options import (
 from ..utils.status import Status
 from . import kernels as K
 from .problem import Problem, Scaling
+from .barrier import update_barrier_adaptive
 from .quasi_newton import (
     bfgs_update,
     init_hessian_dense,
     lbfgs_update,
 )
 from .state import State, RRState, state_zeros
-from ..utils.options import HessianApproximation
+from ..utils.options import BarrierUpdate, HessianApproximation
 
 # Short aliases for status codes (traced as int32)
 S = Status
@@ -155,7 +156,8 @@ class Kernel:
     def initialize(self, theta=()) -> State:
         p, o = self.prob, self.opts
         st = state_zeros(
-            p.nw, p.m, p.n, o.filter_capacity, theta=theta, qn_mem=self.qn_mem
+            p.nw, p.m, p.n, o.filter_capacity, theta=theta, qn_mem=self.qn_mem,
+            ctx=self.kkt.zero_context(),
         )
         theta_arg = theta if p.model.is_parametric else None
 
@@ -241,7 +243,8 @@ class Kernel:
             and o.dual_initialization_method == DualInitialization.LEAST_SQUARES
             and p.m > 0
         ):
-            st = st._replace(y=self._least_squares_duals(st))
+            y_new, ls_ctx = self._least_squares_duals(st)
+            st = st._replace(y=y_new, ctx=ls_ctx)
             st = st._replace(jacl=self.kkt.jtprod(st.jac, st.y))
 
         theta = K.get_theta(st.c)
@@ -286,11 +289,18 @@ class Kernel:
         )
         d, ok, _ = self.kkt.solve_refine(ctx, rhs)
         too_big = jnp.max(jnp.abs(d.y)) > self.opts.constr_mult_init_max
-        return jnp.where(ok & ~too_big, d.y, jnp.zeros((p.m,)))
+        return jnp.where(ok & ~too_big, d.y, jnp.zeros((p.m,))), ctx
 
     # ------------------------------------------------------------------
     # barrier update (monotone; barrier.jl:12-34)
     # ------------------------------------------------------------------
+
+    def update_barrier(self, st: State, sc):
+        b = self.opts.barrier
+        if b == BarrierUpdate.MONOTONE:
+            return self.update_barrier_monotone(st, sc)
+        rule = "quality_function" if b == BarrierUpdate.QUALITY_FUNCTION else "loqo"
+        return update_barrier_adaptive(self, st, sc, rule)
 
     def update_barrier_monotone(self, st: State, sc):
         o = self.opts
@@ -882,12 +892,12 @@ class Kernel:
                     st.k > 0, self._refresh_hessian, lambda s: s, st
                 )
             # barrier
-            st = self.update_barrier_monotone(st, sc)
+            st = self.update_barrier(st, sc)
             # rhs + inertia-corrected factorization + solve
             p_rhs = self._aug_rhs(st, st.c, st.mu)
             st = st._replace(p=p_rhs)
             ctx, d, ok, st = self.inertia_correction(st, p_rhs)
-            st = st._replace(d=d)
+            st = st._replace(d=d, ctx=ctx)
 
             def to_robust(st):
                 # solver.jl:646-649: k += 1 before switching
@@ -1017,7 +1027,7 @@ class Kernel:
                 ctx = self._factorize(st, jnp.zeros(()), jnp.zeros(()))
                 d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs)
                 st = st._replace(
-                    p=p_rhs, d=d2,
+                    p=p_rhs, d=d2, ctx=ctx,
                     factorization_cnt=st.factorization_cnt + 1,
                     backsolve_cnt=st.backsolve_cnt + iters,
                     ftype=_i32(K.FTYPE_F),
@@ -1333,7 +1343,7 @@ class Kernel:
             p_rhs = self._aug_rhs_RR(st)
             st = st._replace(p=p_rhs)
             ctx, d, ok, st = self.inertia_correction(st, p_rhs, rr=True)
-            st = st._replace(d=d)
+            st = st._replace(d=d, ctx=ctx)
 
             def fail(st):
                 return st._replace(status=_i32(S.RESTORATION_FAILED))
@@ -1398,9 +1408,9 @@ class Kernel:
                     )
 
                     def back_to_regular(st):
-                        y_new = self._least_squares_duals(st)
+                        y_new, ls_ctx = self._least_squares_duals(st)
                         return st._replace(
-                            y=y_new,
+                            y=y_new, ctx=ls_ctx,
                             k=st.k + 1, t_cnt=st.t_cnt + 1,
                             status=_i32(S.REGULAR),
                         )

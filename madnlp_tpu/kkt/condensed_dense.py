@@ -72,6 +72,9 @@ class DenseCondensedKKT(DenseKKT):
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
         )
 
+    def sys_size(self) -> int:
+        return self.prob.n + self.n_eq
+
     # -- inertia -----------------------------------------------------------
 
     def is_inertia_correct(self, pos, zero, neg):

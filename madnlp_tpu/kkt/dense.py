@@ -68,6 +68,31 @@ class DenseKKT:
         out = ds.solve(factor, rhs.astype(self.fact_dtype))
         return out.astype(rhs.dtype)
 
+    def sys_size(self) -> int:
+        """Dimension of the assembled matrix."""
+        return self.prob.nw + self.prob.m
+
+    def zero_context(self) -> "KKTContext":
+        """A structurally-correct all-zero context (factor shapes included) —
+        used to seed the persisted per-iteration context in the State."""
+        p = self.prob
+        N = self.sys_size()
+        factor = ds.zero_factor(
+            self.solver, N, self.fact_dtype, block=self.opts.ldl_block_size
+        )
+        return KKTContext(
+            hess=jnp.zeros((p.n, p.n)),
+            jac=jnp.zeros((p.m, p.nw)),
+            pr_diag=jnp.ones((p.nw,)),
+            du_diag=jnp.zeros((p.m,)),
+            reg=jnp.ones((p.nw,)),
+            dl=jnp.ones((p.nw,)),
+            du_=jnp.ones((p.nw,)),
+            zl=jnp.zeros((p.nw,)),
+            zu=jnp.zeros((p.nw,)),
+            factor=factor,
+        )
+
     # -- diagonals (set_aug_diagonal!, kernels.jl:4-27) --------------------
 
     def aug_diagonals(self, reg, du_diag, dl, du_, zl, zu):

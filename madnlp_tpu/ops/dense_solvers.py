@@ -50,6 +50,22 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def zero_factor(solver: LinearSolver, n: int, dtype, block: int = 64) -> DenseFactor:
+    """Structurally-correct zero factor (for pytree templates)."""
+    if solver == LinearSolver.LDL:
+        np_ = max(1, -(-n // block)) * block
+        return DenseFactor("ldl", jnp.zeros((np_, np_), dtype), jnp.zeros((np_,), dtype), n)
+    if solver == LinearSolver.CHOLESKY:
+        return DenseFactor("cholesky", jnp.zeros((n, n), dtype), jnp.zeros((0,), dtype), n)
+    if solver == LinearSolver.LU:
+        return DenseFactor("lu", jnp.zeros((n, n), dtype), jnp.zeros((n,), jnp.int32), n)
+    if solver == LinearSolver.EVD:
+        return DenseFactor("evd", jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype), n)
+    if solver == LinearSolver.QR:
+        return DenseFactor("qr", jnp.zeros((n, n), dtype), jnp.zeros((n, n), dtype), n)
+    raise ValueError(solver)
+
+
 def factorize(K: jax.Array, solver: LinearSolver, block: int = 64) -> DenseFactor:
     n = K.shape[0]
     if solver == LinearSolver.LDL:
