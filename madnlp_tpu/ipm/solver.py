@@ -62,7 +62,14 @@ class ExecutionStats:
 
 
 class MadNLPSolver:
-    def __init__(self, model, options: Optional[MadNLPOptions] = None, **kwargs):
+    def __init__(
+        self,
+        model,
+        options: Optional[MadNLPOptions] = None,
+        schur_structure=None,
+        schur_sharding=None,
+        **kwargs,
+    ):
         if isinstance(model, SparseNLPModel):
             # dense path for now; the sparse/condensed KKT path consumes
             # SparseNLPModel natively (see kkt/sparse_condensed.py)
@@ -84,16 +91,28 @@ class MadNLPSolver:
             else:
                 lin = LinearSolver.LDL
             self.opts = dataclasses.replace(self.opts, linear_solver=lin)
-        kkt_cls = {
-            KKTSystem.DENSE: DenseKKT,
-            KKTSystem.DENSE_CONDENSED: DenseCondensedKKT,
-            KKTSystem.SPARSE_CONDENSED: DenseCondensedKKT,  # dense storage for now
-        }.get(self.opts.kkt_system)
-        if kkt_cls is None:
-            raise NotImplementedError(
-                f"KKT system {self.opts.kkt_system} not implemented yet"
+        if self.opts.kkt_system == KKTSystem.SCHUR:
+            if schur_structure is None:
+                raise ValueError(
+                    "kkt_system=SCHUR requires schur_structure=TwoStageStructure(...)"
+                )
+            from ..kkt.schur import SchurKKT
+
+            kkt = SchurKKT(
+                self.prob, self.opts, schur_structure,
+                scenario_sharding=schur_sharding,
             )
-        kkt = kkt_cls(self.prob, self.opts)
+        else:
+            kkt_cls = {
+                KKTSystem.DENSE: DenseKKT,
+                KKTSystem.DENSE_CONDENSED: DenseCondensedKKT,
+                KKTSystem.SPARSE_CONDENSED: DenseCondensedKKT,  # dense storage for now
+            }.get(self.opts.kkt_system)
+            if kkt_cls is None:
+                raise NotImplementedError(
+                    f"KKT system {self.opts.kkt_system} not implemented yet"
+                )
+            kkt = kkt_cls(self.prob, self.opts)
         self.kernel = Kernel(self.prob, self.opts, kkt=kkt)
         self._init_fn = jax.jit(self.kernel.initialize)
         self._regular = jax.jit(self.kernel.regular_step)
