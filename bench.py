@@ -1,12 +1,14 @@
 """Benchmark — prints ONE JSON line with the primary metric.
 
-Primary metric: IPM iterations/second on the flagship condensed-KKT QP
-(fully-jitted solve on the default device, f64).  ``vs_baseline`` compares
-against a host-CPU LAPACK (numpy) estimate of the same per-iteration linear
-algebra (factorizations + backsolves actually performed, measured with
-numpy Cholesky / triangular solves on the same-size condensed matrix) — the
+Primary metric: IPM iterations/second on a synthetic case118-scale ACOPF
+(the reference's headline benchmark family, BASELINE.md) — fully-jitted
+solve to tol=1e-8 with mixed precision (f32 factorization + f64 Richardson
+refinement; iteration counts identical to full f64).  ``vs_baseline``
+compares against a host-CPU LAPACK (numpy) estimate of the same
+per-iteration linear algebra (the factorizations + backsolves actually
+performed, timed with numpy on the same-size condensed matrix) — the
 "reference CPU linear-solver" stand-in, since the Julia reference publishes
-no first-party numbers (BASELINE.md).
+no first-party numbers.
 """
 
 import json
@@ -15,17 +17,15 @@ import time
 import numpy as np
 
 
-def main(n=512, m=128):
+def main(nb=118):
     import jax
     import jax.numpy as jnp
 
     from madnlp_tpu import MadNLPSolver, Status
-    from madnlp_tpu.models.instances import dummy_qp
+    from madnlp_tpu.models.instances import opf
 
-    model = dummy_qp.build(n, m)
-    # Mixed precision: f32 factorization + f64 Richardson refinement reaches
-    # tol=1e-8 with iteration counts identical to full f64 (tests/test_mixed
-    # _precision), while avoiding the TPU's emulated-f64 matmul path.
+    model = opf.build(nb=nb, seed=0)
+    n = model.n
     solver = MadNLPSolver(model, dtype="float32")
 
     # compile + warmup
@@ -41,7 +41,7 @@ def main(n=512, m=128):
     # host-CPU numpy estimate of the same linear-algebra volume
     nf = stats.counters["factorization_cnt"]
     nsolve = stats.counters["backsolve_cnt"] + nf  # refinement + primary solves
-    size = n  # condensed system size (no equality rows)
+    size = solver.kernel.kkt.sys_size()
     A = np.random.default_rng(0).standard_normal((size, size))
     A = A @ A.T + size * np.eye(size)
     b = np.ones(size)
@@ -65,8 +65,9 @@ def main(n=512, m=128):
             {
                 "metric": "ipm_iter_per_s",
                 "value": round(iter_per_s, 3),
-                "unit": f"iter/s (condensed QP n={n} m={m}, f64, tol=1e-8, "
-                f"{iters} iters, device={jax.devices()[0].platform})",
+                "unit": f"iter/s (synthetic ACOPF nb={nb} n={n} m={model.m}, "
+                f"tol=1e-8 f32+IR, {iters} iters, "
+                f"device={jax.devices()[0].platform})",
                 "vs_baseline": round(iter_per_s / cpu_iter_per_s, 4),
             }
         )

@@ -121,6 +121,7 @@ class MadNLPSolver:
         self._solve_jit = None
         self._solve_batch_jit = None
         self._whole_fn = None
+        self._reinit_fn = None
         self.state: Optional[State] = None
 
     # ------------------------------------------------------------------
@@ -159,14 +160,45 @@ class MadNLPSolver:
 
     # ------------------------------------------------------------------
 
-    def solve(self, params=None, max_wall_time: Optional[float] = None) -> ExecutionStats:
+    def solve(
+        self,
+        params=None,
+        max_wall_time: Optional[float] = None,
+        intermediate_callback=None,
+    ) -> ExecutionStats:
+        """Solve (or warm-start re-solve if already solved once).
+
+        ``intermediate_callback(info: dict) -> bool`` is invoked once per
+        IPM iteration (the reference's `AbstractUserCallback`,
+        src/utils.jl:4-14); returning False aborts with
+        USER_REQUESTED_STOP."""
         t0 = time.time()
         max_wt = max_wall_time if max_wall_time is not None else self.opts.max_wall_time
-        st = self._init_fn(() if params is None else params)
+        theta = () if params is None else params
+        if self.state is not None and int(self.state.status) != int(Status.INITIAL):
+            # warm start: resolve from the previous state (solver.jl:153-155)
+            if self._reinit_fn is None:
+                self._reinit_fn = jax.jit(self.kernel.reinitialize)
+            st = self._reinit_fn(self.state, theta)
+        else:
+            st = self._init_fn(theta)
+            self._print_init()
         status = int(st.status)
         while status in _ACTIVE:
             is_resto = status == int(Status.ROBUST)
             self._print_iter(st, is_resto)
+            if intermediate_callback is not None:
+                info = {
+                    "iter": int(st.k),
+                    "objective": float(st.obj_val) * self.prob.sign
+                    / float(st.scal.obj_scale),
+                    "inf_pr": float(st.inf_pr),
+                    "inf_du": float(st.inf_du),
+                    "mu": float(st.mu),
+                }
+                if intermediate_callback(info) is False:
+                    st = st._replace(status=_i32(Status.USER_REQUESTED_STOP))
+                    break
             if status == int(Status.REGULAR):
                 st = self._regular(st)
             elif status == int(Status.RESTORE):
@@ -182,6 +214,20 @@ class MadNLPSolver:
         if self.opts.print_level <= PrintLevel.NOTICE:
             print(f"EXIT: {get_status_output(stats.status, self.opts.tol, self.opts.acceptable_tol)}")
         return stats
+
+    def _print_init(self):
+        """print_init (src/IPM/utils.jl:139-160)."""
+        if self.opts.print_level > PrintLevel.NOTICE:
+            return
+        p = self.prob
+        lb, ub = p.lb_mask[: p.n], p.ub_mask[: p.n]
+        n_free = int((~(p.fixed_mask)).sum()) if p.fixed_mask.any() else p.n
+        print(f"Total number of variables............................: {n_free:8d}")
+        print(f"                     variables with only lower bounds: {int((lb & ~ub).sum()):8d}")
+        print(f"                variables with lower and upper bounds: {int((lb & ub).sum()):8d}")
+        print(f"                     variables with only upper bounds: {int((~lb & ub).sum()):8d}")
+        print(f"Total number of equality constraints.................: {p.n_eq:8d}")
+        print(f"Total number of inequality constraints...............: {p.ns:8d}")
 
     def solve_jitted(self, params=None) -> ExecutionStats:
         """Whole solve as one XLA computation (no host round trips)."""

@@ -267,6 +267,54 @@ class Kernel:
         status = jnp.where(bad(st.obj_val), _i32(S.INVALID_NUMBER_OBJECTIVE), status)
         return st._replace(status=status)
 
+    def reinitialize(self, st: State, theta=()) -> State:
+        """Warm start / re-solve (reference `reinitialize!`,
+        solver.jl:99-117): reset primal to x0 keeping the duals, re-evaluate,
+        reset the filter and the barrier."""
+        p, o = self.prob, self.opts
+        theta_arg = theta if p.model.is_parametric else None
+        if p.model.x0_fn is not None:
+            x0 = p.model.x0_fn(theta)
+        else:
+            x0 = jnp.asarray(p.model.x0)
+        if p.fixed_mask.any():
+            x0 = jnp.where(jnp.asarray(p.fixed_mask), jnp.asarray(p.xl_fixed), x0)
+        x = st.x.at[: p.n].set(x0)
+
+        obj = p.eval_obj(st.scal, x, theta_arg)
+        f = p.eval_grad(st.scal, x, theta_arg)
+        c = p.eval_cons(st.scal, x, theta_arg)
+        jac = p.eval_jac(st.scal, x, theta_arg)
+        st = st._replace(
+            x=x, obj_val=obj, f=f, c=c, jac=jac,
+            jacl=self.kkt.jtprod(jac, st.y),
+            obj_cnt=st.obj_cnt + 1, grad_cnt=st.grad_cnt + 1,
+            con_cnt=st.con_cnt + 1, jac_cnt=st.jac_cnt + 1,
+        )
+        if self.hess_approx == HessianApproximation.EXACT:
+            st = st._replace(
+                hess=p.eval_lag_hess(st.scal, x, st.y, theta_arg),
+                hess_cnt=st.hess_cnt + 1,
+            )
+        theta_c = K.get_theta(st.c)
+        theta_max = 1e4 * jnp.maximum(1.0, theta_c)
+        mu0 = o.barrier_options.mu_init
+        return st._replace(
+            theta_max=theta_max,
+            theta_min=1e-4 * jnp.maximum(1.0, theta_c),
+            mu=jnp.asarray(mu0),
+            tau=jnp.maximum(o.tau_min, 1.0 - mu0),
+            filter=K.filter_reset(st.filter, theta_max),
+            status=_i32(S.REGULAR),
+            k=_i32(0),
+            acceptable_cnt=_i32(0),
+            restoration_fail_count=_i32(0),
+            unsuccessful_iterate=_i32(0),
+            del_w=jnp.zeros(()),
+            del_w_last=jnp.zeros(()),
+            rr_init_needed=jnp.asarray(False),
+        )
+
     def _least_squares_duals(self, st: State):
         """Solve [I Aᵀ; A 0] with rhs (-∇f + zl - zu, 0) and take the dual
         part, clipped by ‖·‖∞ <= constr_mult_init_max (solver.jl:86-97)."""

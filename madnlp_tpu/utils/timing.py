@@ -1,0 +1,66 @@
+"""Micro-benchmark / profiling helpers — analogue of the reference's
+``timing_callbacks`` / ``timing_linear_solver`` / ``timing_madnlp``
+(``/root/reference/src/utils.jl:160-213``): average wall-times over ``ntrials``
+for the model evaluations and the KKT factorize/backsolve, on whatever
+device the solver runs on."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _avg(fn, ntrials):
+    fn()  # compile / warm up
+    t0 = time.time()
+    for _ in range(ntrials):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / ntrials
+
+
+def timing_callbacks(solver, ntrials: int = 10) -> dict:
+    """Average seconds per obj/grad/cons/jac/hess evaluation."""
+    kern = solver.kernel
+    st = solver.state if solver.state is not None else solver._init_fn()
+    p = solver.prob
+    theta = st.theta if p.model.is_parametric else None
+    scal, w, y = st.scal, st.x, st.y
+    fns = {
+        "t_obj": jax.jit(lambda: p.eval_obj(scal, w, theta)),
+        "t_grad": jax.jit(lambda: p.eval_grad(scal, w, theta)),
+        "t_cons": jax.jit(lambda: p.eval_cons(scal, w, theta)),
+        "t_jac": jax.jit(lambda: p.eval_jac(scal, w, theta)),
+        "t_hess": jax.jit(lambda: p.eval_lag_hess(scal, w, y, theta)),
+    }
+    return {k: _avg(f, ntrials) for k, f in fns.items()}
+
+
+def timing_linear_solver(solver, ntrials: int = 10) -> dict:
+    """Average seconds for build+factorize and for one refined backsolve."""
+    kern = solver.kernel
+    st = solver.state if solver.state is not None else solver._init_fn()
+    dl, du_ = kern.slacks(st.x, st.xl, st.xu)
+    zero = jnp.zeros(())
+
+    fact = jax.jit(lambda: kern._factorize(st, zero, zero))
+    ctx = fact()
+    rhs = kern._aug_rhs(st, st.c, st.mu)
+    solve = jax.jit(lambda: kern.kkt.solve_refine(ctx, rhs)[0])
+    return {
+        "t_build_factorize": _avg(fact, ntrials),
+        "t_backsolve": _avg(solve, ntrials),
+    }
+
+
+def timing_madnlp(solver, ntrials: int = 10) -> dict:
+    """Both of the above plus one full jitted IPM step."""
+    out = {}
+    out.update(timing_callbacks(solver, ntrials))
+    out.update(timing_linear_solver(solver, ntrials))
+    st = solver.state if solver.state is not None else solver._init_fn()
+    step = jax.jit(solver.kernel.regular_step)
+    out["t_ipm_step"] = _avg(lambda: step(st), ntrials)
+    return out
