@@ -16,3 +16,10 @@ import jax
 
 if os.environ.get("MADNLP_TPU_NO_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
+
+# On TPU, XLA's DEFAULT precision lowers f32 matmuls to bfloat16 passes —
+# fatal for the f32 KKT factorizations of the mixed-precision path (the
+# factor loses ~8 mantissa bits and Richardson refinement stalls).  Force
+# true-f32 matmul accumulation; the performance-critical kernels choose
+# their own precision explicitly where relevant.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dense_solvers as ds
-from ..ops.refine import solve_refine
+from ..ops.refine import solve_gmres, solve_refine
 from ..utils.options import LinearSolver, MadNLPOptions
 from .vec import KKTVec
 
@@ -207,7 +207,8 @@ class DenseKKT:
     # -- refined solve -----------------------------------------------------
 
     def solve_refine(self, ctx: KKTContext, b: KKTVec):
-        return solve_refine(
+        refine = solve_refine if self.opts.iterator == "richardson" else solve_gmres
+        return refine(
             lambda w: self.solve(ctx, w),
             lambda x: self.mul(ctx, x),
             b,

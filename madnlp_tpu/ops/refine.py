@@ -45,3 +45,39 @@ def solve_refine(solve_fn, mul_fn, b: KKTVec, max_iter: int, tol: float,
     # b == 0 -> x = 0 is exact (reference skips the loop in that case).
     converged = converged | (norm_b == 0.0)
     return x, converged, ir
+
+
+def solve_gmres(solve_fn, mul_fn, b: KKTVec, max_iter: int, tol: float,
+                acceptable_tol: float):
+    """Preconditioned GMRES refinement — analogue of ``KrylovIterator``
+    (``lib/MadNLPKrylov/src/MadNLPKrylov.jl:14-100``): the KKT operator is
+    the matvec, the current factorization the (right) preconditioner."""
+    sizes = [a.shape[0] for a in b]
+
+    def flat(v: KKTVec):
+        return jnp.concatenate(list(v))
+
+    def unflat(x):
+        out, o = [], 0
+        for s in sizes:
+            out.append(x[o : o + s])
+            o += s
+        return KKTVec(*out)
+
+    bf = flat(b)
+    x, info = jax.scipy.sparse.linalg.gmres(
+        lambda v: flat(mul_fn(unflat(v))),
+        bf,
+        M=lambda v: flat(solve_fn(unflat(v))),
+        tol=tol,
+        atol=0.0,
+        maxiter=max_iter,
+        restart=min(20, max(1, max_iter)),
+        solve_method="batched",
+    )
+    xk = unflat(x)
+    r = KKTVec(*(bb - kk for bb, kk in zip(b, mul_fn(xk))))
+    norm_b = norm_inf(b)
+    ratio = norm_inf(r) / (jnp.minimum(norm_inf(xk), 1e6 * norm_b) + norm_b)
+    converged = (ratio < acceptable_tol) | (norm_b == 0.0)
+    return xk, converged, jnp.asarray(max_iter, jnp.int32)

@@ -226,6 +226,7 @@ class MadNLPOptions:
     tau_min: float = 0.99
 
     # Iterative refinement
+    iterator: str = "richardson"   # "richardson" | "gmres" (Krylov variant)
     richardson: RichardsonOptions = RichardsonOptions()
 
     # madnlp_tpu-specific
