@@ -205,8 +205,144 @@ class Problem:
         obj_scale = jnp.minimum(1.0, max_g / jnp.maximum(gnorm, 1e-300))
         return Scaling(obj_scale, con_scale)
 
+    def jac_template(self):
+        """Zero value of the Jacobian representation stored in the State."""
+        return jnp.zeros((self.m, self.nw))
+
+    def hess_template(self):
+        return jnp.zeros((self.n, self.n))
+
+    @property
+    def is_sparse(self) -> bool:
+        return False
+
     # set in build_problem:
     xl_fixed: np.ndarray = None  # (n,) original lower bounds (for MakeParameter)
+
+
+@dataclasses.dataclass
+class SparseProblem(Problem):
+    """Sparse-callback problem (the `SparseCallback` analogue): Jacobian and
+    Hessian live as *value arrays over a static COO structure*, augmented
+    with the slack entries so every product/assembly is one uniform
+    segment scatter/gather with trace-time-constant index maps — the
+    TPU-native reading of the reference's `coo_to_csc` map trick
+    (src/matrixtools.jl:55-137, SURVEY.md §7).
+
+    Representations stored in the solver State:
+    * jac  -> (nnzj + ns,) scaled values over (jac_rows_aug, jac_cols_aug)
+    * hess -> (nnzh,) values over the static lower-triangular structure
+    """
+
+    # static augmented jacobian structure (set in build_problem)
+    jac_rows_aug: np.ndarray = None   # (nnzj + ns,)
+    jac_cols_aug: np.ndarray = None   # (nnzj + ns,) in [0, nw)
+    hess_rows: np.ndarray = None
+    hess_cols: np.ndarray = None
+
+    @property
+    def is_sparse(self) -> bool:
+        return True
+
+    @property
+    def nnzj_aug(self) -> int:
+        return len(self.jac_rows_aug)
+
+    def jac_template(self):
+        return jnp.zeros((self.nnzj_aug,))
+
+    def hess_template(self):
+        return jnp.zeros((len(self.hess_rows),))
+
+    def eval_jac(self, scal: Scaling, w, theta=None):
+        """(nnzj+ns,) scaled jacobian values (jac_scale = con_scale[row],
+        nlpmodels.jl:246-252); slack entries are the trailing -1s."""
+        x = self.x_of(w)
+        model = self.model
+        vals = (
+            model.jac_coords(x, theta)
+            if model.is_parametric
+            else model.jac_coords(x)
+        )
+        vals = vals * scal.con_scale[jnp.asarray(model.jac_rows)]
+        if self.fixed_mask.any():
+            fixed_entry = jnp.asarray(self.fixed_mask[model.jac_cols])
+            vals = jnp.where(fixed_entry, 0.0, vals)
+        slack_vals = jnp.full((self.ns,), -1.0)
+        return jnp.concatenate([vals, slack_vals])
+
+    def eval_lag_hess(self, scal: Scaling, w, y, theta=None, is_resto=False):
+        x = self.x_of(w)
+        model = self.model
+        obj_weight = (0.0 if is_resto else 1.0) * self.sign * scal.obj_scale
+        ys = y * scal.con_scale
+        vals = (
+            model.hess_coords(x, ys, obj_weight, theta)
+            if model.is_parametric
+            else model.hess_coords(x, ys, obj_weight)
+        )
+        if self.fixed_mask.any():
+            hr, hc = model.hess_rows, model.hess_cols
+            fixed_entry = jnp.asarray(
+                self.fixed_mask[hr] | self.fixed_mask[hc]
+            )
+            unit_diag = jnp.asarray((hr == hc) & self.fixed_mask[hr])
+            vals = jnp.where(fixed_entry, 0.0, vals)
+            vals = jnp.where(unit_diag, 1.0, vals)
+        return vals
+
+    def eval_jtprod_x(self, scal: Scaling, x, y, theta=None):
+        model = self.model
+        vals = (
+            model.jac_coords(x, theta)
+            if model.is_parametric
+            else model.jac_coords(x)
+        )
+        ys = y * scal.con_scale
+        out = jnp.zeros((self.n,), x.dtype)
+        out = out.at[jnp.asarray(model.jac_cols)].add(
+            vals * ys[jnp.asarray(model.jac_rows)]
+        )
+        if self.fixed_mask.any():
+            out = jnp.where(jnp.asarray(self.fixed_mask), 0.0, out)
+        return out
+
+    def compute_scaling(self, w0, theta=None) -> Scaling:
+        """Sparse row-max scaling (set_con_scale_sparse!,
+        nlpmodels.jl:229-246)."""
+        dtype = w0.dtype
+        if not self.opts.nlp_scaling:
+            return Scaling(jnp.ones((), dtype), jnp.ones((self.m,), dtype))
+        max_g = self.opts.nlp_scaling_max_gradient
+        model = self.model
+        x = self.x_of(w0)
+        if self.m > 0:
+            vals = (
+                model.jac_coords(x, theta)
+                if model.is_parametric
+                else model.jac_coords(x)
+            )
+            row_max = jnp.ones((self.m,), dtype)
+            row_max = row_max.at[jnp.asarray(model.jac_rows)].max(jnp.abs(vals))
+            con_scale = jnp.minimum(1.0, max_g / row_max)
+        else:
+            con_scale = jnp.ones((0,), dtype)
+        g = self._grad(x, theta)
+        gnorm = jnp.max(jnp.abs(g)) if self.n else jnp.ones((), dtype)
+        obj_scale = jnp.minimum(1.0, max_g / jnp.maximum(gnorm, 1e-300))
+        return Scaling(obj_scale, con_scale)
+
+    # dense fallbacks for the stats-unpacking path
+    def _jac(self, x, theta):
+        vals = (
+            self.model.jac_coords(x, theta)
+            if self.model.is_parametric
+            else self.model.jac_coords(x)
+        )
+        out = jnp.zeros((self.m, self.n))
+        return out.at[
+            jnp.asarray(self.model.jac_rows), jnp.asarray(self.model.jac_cols)
+        ].add(vals)
 
 
 def build_problem(model: DenseNLPModel, opts: MadNLPOptions) -> Problem:
@@ -262,7 +398,7 @@ def build_problem(model: DenseNLPModel, opts: MadNLPOptions) -> Problem:
     uub_mask = np.concatenate([uub, np.zeros((ns,), bool)])
     eqrelax_mask = np.concatenate([np.zeros((n,), bool), eq_rows[slack_sel]])
 
-    prob = Problem(
+    fields = dict(
         model=model,
         opts=opts,
         n=n,
@@ -283,5 +419,21 @@ def build_problem(model: DenseNLPModel, opts: MadNLPOptions) -> Problem:
         rhs=rhs,
         sign=sign,
     )
+    if getattr(model, "is_dense", True):
+        prob = Problem(**fields)
+    else:
+        # augment the jacobian structure with the slack entries so every
+        # J-product is one uniform segment op
+        jac_rows_aug = np.concatenate([model.jac_rows, slack_sel])
+        jac_cols_aug = np.concatenate(
+            [model.jac_cols, n + np.arange(ns, dtype=np.int64)]
+        )
+        prob = SparseProblem(
+            **fields,
+            jac_rows_aug=jac_rows_aug,
+            jac_cols_aug=jac_cols_aug,
+            hess_rows=model.hess_rows,
+            hess_cols=model.hess_cols,
+        )
     prob.xl_fixed = xl_fixed
     return prob

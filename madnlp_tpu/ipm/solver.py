@@ -70,13 +70,17 @@ class MadNLPSolver:
         schur_sharding=None,
         **kwargs,
     ):
-        if isinstance(model, SparseNLPModel):
-            # dense path for now; the sparse/condensed KKT path consumes
-            # SparseNLPModel natively (see kkt/sparse_condensed.py)
-            model = model.to_dense()
-        self.model: DenseNLPModel = model
         opts = options if options is not None else MadNLPOptions(**kwargs)
-        self.opts = opts.resolve(dense_callback=model.is_dense, m=model.m)
+        resolved = opts.resolve(dense_callback=model.is_dense, m=model.m)
+        if isinstance(model, SparseNLPModel) and resolved.kkt_system in (
+            KKTSystem.DENSE,
+            KKTSystem.DENSE_CONDENSED,
+            KKTSystem.SCHUR,
+        ):
+            # dense KKT systems consume the densified sparse model
+            model = model.to_dense()
+        self.model = model
+        self.opts = resolved
         self.prob = build_problem(model, self.opts)
         # pick the default linear solver once n_eq is known: condensed systems
         # are SPD without equality rows -> Cholesky; otherwise LDLᵀ
@@ -103,16 +107,31 @@ class MadNLPSolver:
                 scenario_sharding=schur_sharding,
             )
         else:
-            kkt_cls = {
-                KKTSystem.DENSE: DenseKKT,
-                KKTSystem.DENSE_CONDENSED: DenseCondensedKKT,
-                KKTSystem.SPARSE_CONDENSED: DenseCondensedKKT,  # dense storage for now
-            }.get(self.opts.kkt_system)
+            if self.prob.is_sparse:
+                from ..kkt.sparse import SparseCondensedKKT, SparseKKT
+
+                kkt_cls = {
+                    KKTSystem.SPARSE: SparseKKT,
+                    KKTSystem.SPARSE_CONDENSED: SparseCondensedKKT,
+                }.get(self.opts.kkt_system)
+            else:
+                kkt_cls = {
+                    KKTSystem.DENSE: DenseKKT,
+                    KKTSystem.DENSE_CONDENSED: DenseCondensedKKT,
+                    # dense callbacks use dense storage for the condensed form
+                    KKTSystem.SPARSE: DenseKKT,
+                    KKTSystem.SPARSE_CONDENSED: DenseCondensedKKT,
+                }.get(self.opts.kkt_system)
             if kkt_cls is None:
                 raise NotImplementedError(
                     f"KKT system {self.opts.kkt_system} not implemented yet"
                 )
             kkt = kkt_cls(self.prob, self.opts)
+        if self.prob.is_sparse and self.opts.hessian_approximation.name != "EXACT":
+            raise NotImplementedError(
+                "quasi-Newton requires dense Hessian storage; use the dense "
+                "callback path (model.to_dense())"
+            )
         self.kernel = Kernel(self.prob, self.opts, kkt=kkt)
         self._init_fn = jax.jit(self.kernel.initialize)
         self._regular = jax.jit(self.kernel.regular_step)

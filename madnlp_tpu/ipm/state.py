@@ -162,7 +162,7 @@ class State(NamedTuple):
 
 def state_zeros(
     nw: int, m: int, n: int, filter_capacity: int, theta=(), qn_mem: int = 0,
-    ctx=(),
+    ctx=(), jac_t=None, hess_t=None,
 ) -> State:
     z = jnp.zeros(())
     i0 = jnp.zeros((), jnp.int32)
@@ -176,8 +176,8 @@ def state_zeros(
         obj_val=z,
         f=jnp.zeros((nw,)),
         c=jnp.zeros((m,)),
-        jac=jnp.zeros((m, nw)),
-        hess=jnp.zeros((n, n)),
+        jac=jnp.zeros((m, nw)) if jac_t is None else jac_t,
+        hess=jnp.zeros((n, n)) if hess_t is None else hess_t,
         jacl=jnp.zeros((nw,)),
         x_trial=jnp.zeros((nw,)),
         obj_val_trial=z,

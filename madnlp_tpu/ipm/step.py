@@ -158,6 +158,7 @@ class Kernel:
         st = state_zeros(
             p.nw, p.m, p.n, o.filter_capacity, theta=theta, qn_mem=self.qn_mem,
             ctx=self.kkt.zero_context(),
+            jac_t=p.jac_template(), hess_t=p.hess_template(),
         )
         theta_arg = theta if p.model.is_parametric else None
 
@@ -320,7 +321,7 @@ class Kernel:
         part, clipped by ‖·‖∞ <= constr_mult_init_max (solver.jl:86-97)."""
         p = self.prob
         ctx = self.kkt.build_and_factorize(
-            hess=jnp.zeros((p.n, p.n)),
+            hess=p.hess_template(),
             jac=st.jac,
             reg=jnp.ones((p.nw,)),
             du_diag=jnp.zeros((p.m,)),

@@ -81,8 +81,8 @@ class DenseKKT:
             self.solver, N, self.fact_dtype, block=self.opts.ldl_block_size
         )
         return KKTContext(
-            hess=jnp.zeros((p.n, p.n)),
-            jac=jnp.zeros((p.m, p.nw)),
+            hess=p.hess_template(),
+            jac=p.jac_template(),
             pr_diag=jnp.ones((p.nw,)),
             du_diag=jnp.zeros((p.m,)),
             reg=jnp.ones((p.nw,)),

@@ -24,35 +24,39 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..model import DenseNLPModel
+from ..model import DenseNLPModel, SparseNLPModel
 
 
 def _network(nb: int, rng):
-    """Ring + chords topology, complex admittance matrix."""
+    """Ring + chords topology; returns the complex Ybus and the edge list
+    (ei, ej, g_e, b_e) plus diagonal shunt susceptance."""
     edges = [(i, (i + 1) % nb) for i in range(nb)]
     n_chords = nb // 3
     for _ in range(n_chords):
         i, j = rng.integers(0, nb, 2)
         if i != j:
             edges.append((min(i, j), max(i, j)))
+    ei = np.array([e[0] for e in edges])
+    ej = np.array([e[1] for e in edges])
+    r = rng.uniform(0.01, 0.05, len(edges))
+    x = rng.uniform(0.05, 0.2, len(edges))
+    y = 1.0 / (r + 1j * x)
+    bsh = rng.uniform(0.0, 0.02, nb)
+
     Y = np.zeros((nb, nb), dtype=np.complex128)
-    for i, j in edges:
-        r = rng.uniform(0.01, 0.05)
-        x = rng.uniform(0.05, 0.2)
-        y = 1.0 / (r + 1j * x)
-        Y[i, j] -= y
-        Y[j, i] -= y
-        Y[i, i] += y
-        Y[j, j] += y
-    # small shunt capacitance
-    Y[np.diag_indices(nb)] += 1j * rng.uniform(0.0, 0.02, nb)
-    return Y
+    for k, (i, j) in enumerate(edges):
+        Y[i, j] -= y[k]
+        Y[j, i] -= y[k]
+        Y[i, i] += y[k]
+        Y[j, j] += y[k]
+    Y[np.diag_indices(nb)] += 1j * bsh
+    return Y, (ei, ej, np.real(y), np.imag(y), bsh)
 
 
-def build(nb: int = 118, seed: int = 0, parametric: bool = False):
-    """Returns a DenseNLPModel with n = 2·nb + 2·ng variables."""
+def _instance(nb: int, seed: int) -> dict:
+    """All numpy instance data, shared by the dense and sparse builders."""
     rng = np.random.default_rng(seed)
-    Y = _network(nb, rng)
+    Y, (ei, ej, ge, be, bsh) = _network(nb, rng)
     ng = max(2, nb // 4)
     gen_bus = np.unique(np.concatenate([[0], rng.integers(0, nb, ng - 1)]))
     ng = len(gen_bus)
@@ -68,11 +72,26 @@ def build(nb: int = 118, seed: int = 0, parametric: bool = False):
     Qd = -np.imag(S0)
     Pd[gen_bus] += pg0
     Qd[gen_bus] += qg0
-    # generation box comfortably around the anchor point
     pg_max = pg0 + rng.uniform(0.5, 1.0, ng)
     qg_box = np.abs(qg0) + rng.uniform(0.5, 1.0, ng)
     c2 = rng.uniform(0.5, 2.0, ng)
     c1 = rng.uniform(5.0, 20.0, ng)
+    return dict(
+        Y=Y, ei=ei, ej=ej, ge=ge, be=be, bsh=bsh, ng=ng, gen_bus=gen_bus,
+        pg0=pg0, qg0=qg0, Pd=Pd, Qd=Qd, pg_max=pg_max, qg_box=qg_box,
+        c2=c2, c1=c1,
+    )
+
+
+def build(nb: int = 118, seed: int = 0, parametric: bool = False):
+    """Returns a DenseNLPModel with n = 2·nb + 2·ng variables."""
+    data = _instance(nb, seed)
+    Y = data["Y"]
+    ng, gen_bus = data["ng"], data["gen_bus"]
+    pg0, qg0 = data["pg0"], data["qg0"]
+    Pd, Qd = data["Pd"], data["Qd"]
+    pg_max, qg_box = data["pg_max"], data["qg_box"]
+    c2, c1 = data["c2"], data["c1"]
 
     n = 2 * nb + 2 * ng   # [va, vm, pg, qg]
     m = 2 * nb
@@ -147,4 +166,164 @@ def build(nb: int = 118, seed: int = 0, parametric: bool = False):
         ucon=np.zeros(m),
         params=np.ones(()) if parametric else None,
         name=f"synthetic_acopf_nb{nb}",
+    )
+
+
+def build_sparse(nb: int = 118, seed: int = 0):
+    """Sparse ACOPF with **edge-local AD derivatives** — the SIMD-abstraction
+    trick of ExaModels (the reference's GPU model front end, BASELINE.md):
+    the Lagrangian is a sum of per-edge terms in 4 variables, so the sparse
+    Jacobian/Hessian values are vmapped 4-point gradients / 4×4 AD Hessians
+    over the edge list — nnz-sized evaluation, no dense AD anywhere.
+
+    Identical instance data (same seed) as :func:`build`."""
+    import jax
+
+    data = _instance(nb, seed)
+    ei, ej = data["ei"], data["ej"]
+    ge, be, bsh = data["ge"], data["be"], data["bsh"]
+    ng, gen_bus = data["ng"], data["gen_bus"]
+    pg0, qg0 = data["pg0"], data["qg0"]
+    Pd, Qd = data["Pd"], data["Qd"]
+    pg_max, qg_box = data["pg_max"], data["qg_box"]
+    c2, c1 = data["c2"], data["c1"]
+    nl = len(ei)
+    n = 2 * nb + 2 * ng
+    m = 2 * nb
+
+    # diagonal Ybus terms: G_ii = Σ g_e, B_ii = Σ b_e + bsh
+    Gd = np.zeros(nb)
+    Bd = bsh.copy()
+    np.add.at(Gd, ei, ge)
+    np.add.at(Gd, ej, ge)
+    np.add.at(Bd, ei, be)
+    np.add.at(Bd, ej, be)
+
+    eij = jnp.asarray(ei)
+    ejj = jnp.asarray(ej)
+    gej, bej = jnp.asarray(ge), jnp.asarray(be)
+    Gdj, Bdj = jnp.asarray(Gd), jnp.asarray(Bd)
+    gen_sel = jnp.asarray(gen_bus)
+    Pdj, Qdj = jnp.asarray(Pd), jnp.asarray(Qd)
+    c2j, c1j = jnp.asarray(c2), jnp.asarray(c1)
+
+    def split(x):
+        return x[:nb], x[nb : 2 * nb], x[2 * nb : 2 * nb + ng], x[2 * nb + ng :]
+
+    def edge_flows(z, g, b):
+        """(p_i, p_j, q_i, q_j) for one edge; z = (va_i, va_j, vm_i, vm_j).
+        Off-diagonal Ybus entry is −(g+jb)."""
+        vai, vaj, vmi, vmj = z
+        th = vai - vaj
+        c, s = jnp.cos(th), jnp.sin(th)
+        vv = vmi * vmj
+        p_i = vv * (-g * c - b * s)
+        q_i = vv * (-g * s + b * c)
+        p_j = vv * (-g * c + b * s)
+        q_j = vv * (g * s + b * c)
+        return jnp.array([p_i, p_j, q_i, q_j])
+
+    def edge_z(x):
+        va, vm, _, _ = split(x)
+        return jnp.stack([va[eij], va[ejj], vm[eij], vm[ejj]], axis=1)  # (nl,4)
+
+    def cons(x):
+        va, vm, pg, qg = split(x)
+        flows = jax.vmap(edge_flows)(edge_z(x), gej, bej)  # (nl, 4)
+        P = jnp.zeros(nb).at[eij].add(flows[:, 0]).at[ejj].add(flows[:, 1])
+        Q = jnp.zeros(nb).at[eij].add(flows[:, 2]).at[ejj].add(flows[:, 3])
+        P = P + Gdj * vm**2
+        Q = Q - Bdj * vm**2
+        Pg = jnp.zeros(nb).at[gen_sel].add(pg)
+        Qg = jnp.zeros(nb).at[gen_sel].add(qg)
+        return jnp.concatenate([P - Pg + Pdj, Q - Qg + Qdj])
+
+    def obj(x):
+        _, _, pg, _ = split(x)
+        return jnp.sum(c2j * pg**2 + c1j * pg)
+
+    # ---- static sparse structure ----------------------------------------
+    # edge jac entries: 4 outputs × 4 inputs per edge
+    row_of_out = np.stack([ei, ej, nb + ei, nb + ej], axis=1)       # (nl, 4)
+    col_of_in = np.stack([ei, ej, nb + ei, nb + ej], axis=1)        # (nl, 4)
+    jac_rows = [np.repeat(row_of_out, 4, axis=1).reshape(-1)]
+    jac_cols = [np.tile(col_of_in, (1, 4)).reshape(-1)]
+    # node diagonal terms d(P_i)/d(vm_i), d(Q_i)/d(vm_i)
+    jac_rows += [np.arange(nb), nb + np.arange(nb)]
+    jac_cols += [nb + np.arange(nb), nb + np.arange(nb)]
+    # generator columns: dP_i/dpg = -1, dQ_i/dqg = -1
+    jac_rows += [gen_bus, nb + gen_bus]
+    jac_cols += [2 * nb + np.arange(ng), 2 * nb + ng + np.arange(ng)]
+    jac_rows = np.concatenate(jac_rows)
+    jac_cols = np.concatenate(jac_cols)
+
+    _edge_jac = jax.vmap(lambda z, g, b: jax.jacfwd(edge_flows)(z, g, b))
+
+    def jac_coords(x):
+        va, vm, pg, qg = split(x)
+        J_e = _edge_jac(edge_z(x), gej, bej)       # (nl, 4, 4)
+        node_p = 2.0 * Gdj * vm
+        node_q = -2.0 * Bdj * vm
+        gen = jnp.full((2 * ng,), -1.0)
+        return jnp.concatenate([J_e.reshape(-1), node_p, node_q, gen])
+
+    # hessian: per-edge 4×4 lower triangle (10 entries), node vm², gen pg²
+    tril_i, tril_j = np.tril_indices(4)
+    var_of = col_of_in  # (nl, 4): variable index of each edge slot
+    hr_e = var_of[:, tril_i]
+    hc_e = var_of[:, tril_j]
+    # enforce lower-triangular (row >= col) by swapping where needed
+    swap = hr_e < hc_e
+    hr_e2 = np.where(swap, hc_e, hr_e)
+    hc_e2 = np.where(swap, hr_e, hc_e)
+    hess_rows = np.concatenate(
+        [hr_e2.reshape(-1), nb + np.arange(nb), 2 * nb + np.arange(ng)]
+    )
+    hess_cols = np.concatenate(
+        [hc_e2.reshape(-1), nb + np.arange(nb), 2 * nb + np.arange(ng)]
+    )
+
+    def _edge_lagr(z, g, b, w4):
+        return jnp.dot(w4, edge_flows(z, g, b))
+
+    _edge_hess = jax.vmap(jax.hessian(_edge_lagr), in_axes=(0, 0, 0, 0))
+
+    def hess_coords(x, y, obj_weight):
+        va, vm, pg, qg = split(x)
+        yP, yQ = y[:nb], y[nb:]
+        w4 = jnp.stack([yP[eij], yP[ejj], yQ[eij], yQ[ejj]], axis=1)  # (nl,4)
+        He = _edge_hess(edge_z(x), gej, bej, w4)    # (nl, 4, 4)
+        # duplicate-coordinate COO: scatter-add accumulates symmetric halves;
+        # off-diagonal pairs that got swapped still address the same (r, c)
+        vals_e = He[:, tril_i, tril_j]
+        node = 2.0 * (Gdj * yP - Bdj * yQ)
+        gen = 2.0 * obj_weight * c2j
+        return jnp.concatenate([vals_e.reshape(-1), node, gen])
+
+    lvar = np.concatenate(
+        [np.full(nb, -np.pi), np.full(nb, 0.9), np.zeros(ng), -qg_box]
+    )
+    uvar = np.concatenate(
+        [np.full(nb, np.pi), np.full(nb, 1.1), pg_max, qg_box]
+    )
+    lvar[0] = uvar[0] = 0.0
+    x0 = np.concatenate([np.zeros(nb), np.ones(nb), pg0, qg0])
+
+    return SparseNLPModel(
+        n=n,
+        m=m,
+        obj=obj,
+        cons=cons,
+        x0=x0,
+        jac_rows=jac_rows,
+        jac_cols=jac_cols,
+        jac_coords=jac_coords,
+        hess_rows=hess_rows,
+        hess_cols=hess_cols,
+        hess_coords=hess_coords,
+        lvar=lvar,
+        uvar=uvar,
+        lcon=np.zeros(m),
+        ucon=np.zeros(m),
+        name=f"synthetic_acopf_sparse_nb{nb}",
     )

@@ -147,6 +147,8 @@ class SparseNLPModel:
     grad: Optional[Callable] = None
     minimize: bool = True
     name: str = "generic-sparse"
+    params: object = None
+    x0_fn: Optional[Callable] = None
 
     def __post_init__(self):
         self.x0 = np.asarray(self.x0, dtype=np.float64)
@@ -173,6 +175,10 @@ class SparseNLPModel:
     @property
     def is_dense(self) -> bool:
         return False
+
+    @property
+    def is_parametric(self) -> bool:
+        return self.params is not None
 
     def jac_dense(self, x):
         """Densify the Jacobian via static scatter (trace-time constant maps)."""
