@@ -24,7 +24,9 @@ def main(nb=118):
     from madnlp_tpu import MadNLPSolver, Status
     from madnlp_tpu.models.instances import opf
 
-    model = opf.build(nb=nb, seed=0)
+    # sparse model: edge-local AD derivatives (nnz-sized evaluation);
+    # augmented KKT + f32 LDL + Ruiz equilibration + f64 refinement
+    model = opf.build_sparse(nb=nb, seed=0)
     n = model.n
     solver = MadNLPSolver(model, dtype="float32")
 

@@ -33,6 +33,13 @@ from ..utils.options import LinearSolver, MadNLPOptions
 from .vec import KKTVec
 
 
+class EquilibratedFactor(NamedTuple):
+    """Dense factor of D·K·D plus the Ruiz scaling vector d."""
+
+    inner: ds.DenseFactor
+    d: jax.Array
+
+
 class KKTContext(NamedTuple):
     """Per-iteration numeric payload of the KKT system."""
 
@@ -61,12 +68,26 @@ class DenseKKT:
         self.fact_dtype = jnp.dtype(opts.dtype)
 
     def _factorize_matrix(self, K):
-        Kf = K.astype(self.fact_dtype)
-        return ds.factorize(Kf, self.solver, block=self.opts.ldl_block_size)
+        """Factorize with symmetric Ruiz equilibration: D K D with
+        d = 1/√(row-inf-norm), iterated.  IPM KKT matrices have diagonals
+        spanning ~1/μ² — equilibration drops the condition number into the
+        range where the f32 factorization + f64 refinement recipe converges
+        (the same enabler used by GPU condensed-IPM solvers).  Congruence
+        preserves inertia (Sylvester), so the inertia tests are unaffected."""
+        d = jnp.ones((K.shape[0],), K.dtype)
+        for _ in range(3):
+            Ks = K * (d[:, None] * d[None, :])
+            r = jnp.max(jnp.abs(Ks), axis=1)
+            d = d / jnp.sqrt(jnp.maximum(r, 1e-32))
+        Kf = (K * (d[:, None] * d[None, :])).astype(self.fact_dtype)
+        inner = ds.factorize(Kf, self.solver, block=self.opts.ldl_block_size)
+        return EquilibratedFactor(inner=inner, d=d)
 
-    def _backsolve(self, factor, rhs):
-        out = ds.solve(factor, rhs.astype(self.fact_dtype))
-        return out.astype(rhs.dtype)
+    def _backsolve(self, factor: "EquilibratedFactor", rhs):
+        # K x = b  ⟺  (DKD)(D⁻¹x) = D b
+        scaled = (factor.d * rhs).astype(self.fact_dtype)
+        out = ds.solve(factor.inner, scaled).astype(rhs.dtype)
+        return factor.d * out
 
     def sys_size(self) -> int:
         """Dimension of the assembled matrix."""
@@ -77,8 +98,11 @@ class DenseKKT:
         used to seed the persisted per-iteration context in the State."""
         p = self.prob
         N = self.sys_size()
-        factor = ds.zero_factor(
-            self.solver, N, self.fact_dtype, block=self.opts.ldl_block_size
+        factor = EquilibratedFactor(
+            inner=ds.zero_factor(
+                self.solver, N, self.fact_dtype, block=self.opts.ldl_block_size
+            ),
+            d=jnp.ones((N,)),
         )
         return KKTContext(
             hess=p.hess_template(),
@@ -131,7 +155,7 @@ class DenseKKT:
     # -- inertia -----------------------------------------------------------
 
     def inertia(self, ctx: KKTContext):
-        return ds.inertia(ctx.factor)
+        return ds.inertia(ctx.factor.inner)
 
     def is_inertia_correct(self, pos, zero, neg):
         """num_pos == num_variables && num_zero == 0 (KKTsystem.jl:242-244)."""

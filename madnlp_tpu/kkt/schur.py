@@ -36,7 +36,7 @@ import numpy as np
 from ..models.instances.twostage import TwoStageStructure
 from ..ops import dense_solvers as ds
 from ..ops import ldlt
-from .dense import DenseKKT, KKTContext
+from .dense import DenseKKT, EquilibratedFactor, KKTContext
 from .vec import KKTVec
 
 
@@ -44,7 +44,7 @@ class SchurFactor(NamedTuple):
     Lb: jax.Array     # (N, bs', bs') batched unit-lower factors (padded)
     db: jax.Array     # (N, bs') batched pivots
     G: jax.Array      # (N, bs, nd)  A_k⁻¹ C_k
-    S_fac: ds.DenseFactor  # factor of the (nd, nd) Schur complement
+    S_fac: object  # EquilibratedFactor of the (nd, nd) Schur complement
 
 
 class SchurKKT(DenseKKT):
@@ -145,8 +145,8 @@ class SchurKKT(DenseKKT):
             )(Lb, db, Cf)
         )                                                      # (N, bs, nd)
         # S = S0 − Σ_k C_kᵀ A_k⁻¹ C_k  (one einsum; psum under sharding)
-        S = S0.astype(dt) - jnp.einsum("kij,kil->jl", Cf, G)
-        S_fac = ds.factorize(S, self.solver, block=self.opts.ldl_block_size)
+        S = S0 - jnp.einsum("kij,kil->jl", Cf, G).astype(S0.dtype)
+        S_fac = self._factorize_matrix(S)
         factor = SchurFactor(Lb=Lb, db=db, G=G, S_fac=S_fac)
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
@@ -163,7 +163,10 @@ class SchurKKT(DenseKKT):
             Lb=jnp.zeros((N, bsp, bsp), dt),
             db=jnp.zeros((N, bsp), dt),
             G=jnp.zeros((N, bs, nd), dt),
-            S_fac=ds.zero_factor(self.solver, nd, dt, self.opts.ldl_block_size),
+            S_fac=EquilibratedFactor(
+                inner=ds.zero_factor(self.solver, nd, dt, self.opts.ldl_block_size),
+                d=jnp.ones((nd,)),
+            ),
         )
         return base._replace(factor=factor)
 
@@ -175,7 +178,7 @@ class SchurKKT(DenseKKT):
         pos_b, zero_b, neg_b = jax.vmap(
             lambda L, d: ldlt.ldlt_inertia(ldlt.LDLFactor(L, d, bs))
         )(f.Lb, f.db)
-        ps, zs, ns_ = ds.inertia(f.S_fac)
+        ps, zs, ns_ = ds.inertia(f.S_fac.inner)
         return (
             jnp.sum(pos_b) + ps,
             jnp.sum(zero_b) + zs,
@@ -206,7 +209,7 @@ class SchurKKT(DenseKKT):
         )
         t = solve_b(f.Lb, f.db, r_k)                    # forward eliminate
         rd2 = r_d - jnp.einsum("kij,ki->j", f.G, r_k)   # reduction (psum point)
-        dd = ds.solve(f.S_fac, rd2)                     # dense coupling solve
+        dd = self._backsolve(f.S_fac, rd2)              # dense coupling solve
         blk = t - jnp.einsum("kij,j->ki", f.G, dd)      # back-substitute
 
         xp = jnp.zeros_like(w.xp)

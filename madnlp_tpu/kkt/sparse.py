@@ -132,27 +132,18 @@ class SparseCondensedKKT(SparseKKT):
             "(use equality_treatment=RELAX / the SPARSE_CONDENSED preset)"
         )
         # pair map over the *model* jacobian entries (slack entries excluded:
-        # they enter D/Σs analytically)
+        # they enter D/Σs analytically) — built by the native C++ symbolic
+        # module (madnlp_tpu/native/symbolic.cpp) with a numpy fallback
+        from ..native import jtdj_pair_map
+
         rows = np.asarray(p.model.jac_rows)
         cols = np.asarray(p.model.jac_cols)
-        order = np.argsort(rows, kind="stable")
-        by_row = {}
-        for e in order:
-            by_row.setdefault(int(rows[e]), []).append(e)
-        pr, pc, pa, pb, pk = [], [], [], [], []
-        for i, entries in by_row.items():
-            for a in entries:
-                for b in entries:
-                    pr.append(cols[a])
-                    pc.append(cols[b])
-                    pa.append(a)
-                    pb.append(b)
-                    pk.append(i)
-        self.pair_r = jnp.asarray(np.asarray(pr, dtype=np.int64))
-        self.pair_c = jnp.asarray(np.asarray(pc, dtype=np.int64))
-        self.pair_a = jnp.asarray(np.asarray(pa, dtype=np.int64))
-        self.pair_b = jnp.asarray(np.asarray(pb, dtype=np.int64))
-        self.pair_k = jnp.asarray(np.asarray(pk, dtype=np.int64))
+        pr, pc, pa, pb, pk = jtdj_pair_map(rows, cols, p.m)
+        self.pair_r = jnp.asarray(pr)
+        self.pair_c = jnp.asarray(pc)
+        self.pair_a = jnp.asarray(pa)
+        self.pair_b = jnp.asarray(pb)
+        self.pair_k = jnp.asarray(pk)
         self.nnz_jac = len(rows)  # model entries (before slack augmentation)
 
     def sys_size(self) -> int:
