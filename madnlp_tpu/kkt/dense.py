@@ -67,21 +67,42 @@ class DenseKKT:
         # `opts.dtype`, keep the operator + Richardson refinement in f64.
         self.fact_dtype = jnp.dtype(opts.dtype)
 
-    def _factorize_matrix(self, K):
-        """Factorize with symmetric Ruiz equilibration: D K D with
-        d = 1/√(row-inf-norm), iterated.  IPM KKT matrices have diagonals
-        spanning ~1/μ² — equilibration drops the condition number into the
-        range where the f32 factorization + f64 refinement recipe converges
-        (the same enabler used by GPU condensed-IPM solvers).  Congruence
-        preserves inertia (Sylvester), so the inertia tests are unaffected."""
-        d = jnp.ones((K.shape[0],), K.dtype)
-        for _ in range(3):
-            Ks = K * (d[:, None] * d[None, :])
-            r = jnp.max(jnp.abs(Ks), axis=1)
-            d = d / jnp.sqrt(jnp.maximum(r, 1e-32))
+    def _factorize_matrix(self, K, d_analytic=None):
+        """Factorize with a symmetric conditioning scaling D K D (congruence
+        — preserves inertia by Sylvester's law).  IPM KKT matrices have
+        diagonals spanning ~1/μ², which breaks the f32-factorize +
+        f64-refine recipe; the scaling drops the condition number into the
+        convergent range (the same enabler used by GPU condensed-IPM work).
+
+        Strategies (opts.kkt_scaling):
+        * "ruiz" — 3 sweeps of d ← d/√(row-inf-norm) (default);
+        * "k25"  — the analytic √Ξ scaling of the K2.5 formulation
+          (scaled_augmented.jl:2-30), supplied by the KKT system via
+          ``d_analytic``;
+        * "none".
+        """
+        mode = self.opts.kkt_scaling
+        if mode == "k25" and d_analytic is not None:
+            d = d_analytic
+        elif mode == "ruiz":
+            d = jnp.ones((K.shape[0],), K.dtype)
+            for _ in range(3):
+                Ks = K * (d[:, None] * d[None, :])
+                r = jnp.max(jnp.abs(Ks), axis=1)
+                d = d / jnp.sqrt(jnp.maximum(r, 1e-32))
+        else:
+            d = jnp.ones((K.shape[0],), K.dtype)
         Kf = (K * (d[:, None] * d[None, :])).astype(self.fact_dtype)
         inner = ds.factorize(Kf, self.solver, block=self.opts.ldl_block_size)
         return EquilibratedFactor(inner=inner, d=d)
+
+    def _k25_scaling(self, dl, du_, size_dual: int):
+        """√Ξ over the primal block, 1 over the dual block
+        (kernels.jl:61-63 scaling_factor)."""
+        p = self.prob
+        lb, ub = jnp.asarray(p.lb_mask), jnp.asarray(p.ub_mask)
+        s = jnp.where(lb, jnp.sqrt(dl), 1.0) * jnp.where(ub, jnp.sqrt(du_), 1.0)
+        return jnp.concatenate([s, jnp.ones((size_dual,))])
 
     def _backsolve(self, factor: "EquilibratedFactor", rhs):
         # K x = b  ⟺  (DKD)(D⁻¹x) = D b
@@ -146,7 +167,7 @@ class DenseKKT:
                 [jac, jnp.diag(du_diag)],
             ]
         ) if m > 0 else W
-        factor = self._factorize_matrix(K)
+        factor = self._factorize_matrix(K, self._k25_scaling(dl, du_, m))
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,

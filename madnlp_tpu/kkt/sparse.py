@@ -87,7 +87,7 @@ class SparseKKT(DenseKKT):
         K = K.at[self.hr, self.hc].add(hess)
         off = jnp.where(self.h_offdiag, hess, 0.0)
         K = K.at[self.hc, self.hr].add(off)
-        factor = self._factorize_matrix(K)
+        factor = self._factorize_matrix(K, self._k25_scaling(dl, du_, p.m))
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,

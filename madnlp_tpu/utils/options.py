@@ -231,6 +231,11 @@ class MadNLPOptions:
 
     # madnlp_tpu-specific
     dtype: str = "float64"         # "float64" | "float32" (factorization dtype)
+    kkt_scaling: str = "ruiz"      # "ruiz" | "k25" | "none" — conditioning
+    # scaling applied inside the factorization (congruence; preserves
+    # inertia).  "k25" is the analytic sqrt(Xi) scaling of the K2.5
+    # formulation (Ghannad/Orban/Saunders; reference
+    # src/KKT/Sparse/scaled_augmented.jl) expressed as an equilibration.
     filter_capacity: int = 128     # filter kept as a fixed-capacity array (jit)
     ldl_block_size: int = 64       # block size of the blocked LDLᵀ kernel
 
