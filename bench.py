@@ -24,9 +24,11 @@ def main(nb=118):
     from madnlp_tpu import MadNLPSolver, Status
     from madnlp_tpu.models.instances import opf
 
-    # sparse model: edge-local AD derivatives (nnz-sized evaluation);
-    # augmented KKT + f32 LDL + Ruiz equilibration + f64 refinement
-    model = opf.build_sparse(nb=nb, seed=0)
+    # Dense-Ybus model: on TPU the power-flow evaluation and its AD
+    # derivatives are MXU matmuls, and dense KKT assembly avoids scatters
+    # (TPU scatters serialize — the sparse-exec path is CPU-oriented until
+    # the Pallas segment kernels land; see CLAUDE.md).
+    model = opf.build(nb=nb, seed=0)
     n = model.n
     solver = MadNLPSolver(model, dtype="float32")
 

@@ -17,6 +17,16 @@ import jax
 if os.environ.get("MADNLP_TPU_NO_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: whole-solver jits take minutes to compile
+# through the remote TPU compile service; cache them across processes.
+try:
+    _cache_dir = os.environ.get("MADNLP_TPU_CACHE", "/tmp/madnlp_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:  # older jax without these flags
+    pass
+
 # On TPU, XLA's DEFAULT precision lowers f32 matmuls to bfloat16 passes —
 # fatal for the f32 KKT factorizations of the mixed-precision path (the
 # factor loses ~8 mantissa bits and Richardson refinement stalls).  Force
