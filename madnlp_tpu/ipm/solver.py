@@ -141,41 +141,71 @@ class MadNLPSolver:
         self._solve_batch_jit = None
         self._whole_fn = None
         self._reinit_fn = None
+        self._output_fh = None
         self.state: Optional[State] = None
 
     # ------------------------------------------------------------------
 
-    def _print(self, level, msg):
+    def _print(self, msg, level=PrintLevel.NOTICE):
+        """Leveled console print with optional tee to ``output_file``
+        (reference: src/utils.jl logger + options.jl output_file)."""
         if self.opts.print_level <= level:
             print(msg)
+        if self.opts.output_file:
+            if self._output_fh is None:
+                self._output_fh = open(self.opts.output_file, "a")
+            if self.opts.file_print_level <= level:
+                self._output_fh.write(msg + "\n")
+                self._output_fh.flush()
 
-    def _print_iter(self, st: State, is_resto: bool):
-        if self.opts.print_level > PrintLevel.INFO:
+    def _print_iter(self, st: State):
+        """Ipopt-format iteration line from the in-step log snapshot
+        (reference: print_iter, src/IPM/utils.jl:161-188)."""
+        if self.opts.print_level > PrintLevel.INFO and not self.opts.output_file:
             return
-        k = int(st.k)
+        row = np.asarray(st.log_row)
+        k = int(row[0])
+        is_resto = row[10] != 0.0
         if k % 10 == 0:
-            print(
+            self._print(
                 "iter    objective    inf_pr   inf_du inf_compl lg(mu) lg(rg) "
-                "alpha_pr ls"
+                "alpha_pr ls",
+                PrintLevel.INFO,
             )
         obj_scale = float(st.scal.obj_scale)
-        if is_resto:
-            inf_pr, inf_du = float(st.RR.inf_pr_R), float(st.RR.inf_du_R)
-            inf_compl = float(st.RR.inf_compl_R)
-            lg_mu = float(np.log10(float(st.RR.mu_R)))
-        else:
-            inf_pr, inf_du = float(st.inf_pr), float(st.inf_du)
-            inf_compl = float(st.inf_compl)
-            lg_mu = float(np.log10(float(st.mu)))
-        del_w = float(st.del_w)
+        lg_mu = float(np.log10(max(row[5], 1e-300)))
+        del_w = row[6]
         rg = "   - " if del_w == 0 else f"{np.log10(del_w):5.1f}"
-        ftype = K.FTYPE_CHARS.get(int(st.ftype), " ")
-        print(
+        ftype = K.FTYPE_CHARS.get(int(row[9]), " ")
+        self._print(
             f"{k:4d}{'r' if is_resto else ' '}"
-            f"{float(st.obj_val) * self.prob.sign / obj_scale: 10.7e} "
-            f"{inf_pr:6.2e} {inf_du:6.2e} {inf_compl:7.2e} {lg_mu:5.1f} "
-            f"{rg} {float(st.alpha):6.2e} {int(st.l_cnt):2d}{ftype}"
+            f"{row[1] * self.prob.sign / obj_scale: 10.7e} "
+            f"{row[2]:6.2e} {row[3]:6.2e} {row[4]:7.2e} {lg_mu:5.1f} "
+            f"{rg} {row[7]:6.2e} {int(row[8]):2d}{ftype}",
+            PrintLevel.INFO,
         )
+
+    def _print_summary(self, st: State, stats: "ExecutionStats"):
+        """EXIT summary (reference: print_summary, src/IPM/utils.jl:190-219)."""
+        obj_scale = float(st.scal.obj_scale)
+        c = stats.counters
+        p = self._print
+        p("")
+        p(f"Number of Iterations....: {stats.iter}\n")
+        p("                                   (scaled)                 (unscaled)")
+        p(f"Objective...............:  {float(st.obj_val): 1.16e}   {stats.objective: 1.16e}")
+        p(f"Dual infeasibility......:   {stats.dual_feas:1.16e}    {stats.dual_feas / obj_scale:1.16e}")
+        cviol = float(np.max(np.abs(np.asarray(st.c)), initial=0.0))
+        p(f"Constraint violation....:   {cviol:1.16e}    {stats.primal_feas:1.16e}")
+        p(f"Complementarity.........:   {float(st.inf_compl) * obj_scale:1.16e}    {float(st.inf_compl):1.16e}\n")
+        p(f"Number of objective function evaluations              = {c['obj_cnt']}")
+        p(f"Number of objective gradient evaluations              = {c['grad_cnt']}")
+        p(f"Number of constraint evaluations                      = {c['con_cnt']}")
+        p(f"Number of constraint Jacobian evaluations             = {c['jac_cnt']}")
+        p(f"Number of Lagrangian Hessian evaluations              = {c['hess_cnt']}")
+        p(f"Number of KKT factorizations                          = {c['factorization_cnt']}")
+        p(f"Number of KKT backsolves                              = {c['backsolve_cnt']}")
+        p(f"Total wall secs                                       = {stats.solve_time:6.3f} s\n")
 
     # ------------------------------------------------------------------
 
@@ -204,8 +234,6 @@ class MadNLPSolver:
             self._print_init()
         status = int(st.status)
         while status in _ACTIVE:
-            is_resto = status == int(Status.ROBUST)
-            self._print_iter(st, is_resto)
             if intermediate_callback is not None:
                 info = {
                     "iter": int(st.k),
@@ -224,14 +252,18 @@ class MadNLPSolver:
                 st = self._restore(st)
             else:
                 st = self._robust(st)
+            self._print_iter(st)
             status = int(st.status)  # host sync (once per iteration)
             if time.time() - t0 > max_wt and status in _ACTIVE:
                 status = int(Status.MAXIMUM_WALLTIME_EXCEEDED)
                 st = st._replace(status=_i32(status))
         self.state = st
         stats = self._stats(st, time.time() - t0)
-        if self.opts.print_level <= PrintLevel.NOTICE:
-            print(f"EXIT: {get_status_output(stats.status, self.opts.tol, self.opts.acceptable_tol)}")
+        if int(st.status) >= int(Status.SOLVE_SUCCEEDED):
+            self._print_summary(st, stats)
+        self._print(
+            f"EXIT: {get_status_output(stats.status, self.opts.tol, self.opts.acceptable_tol)}"
+        )
         return stats
 
     def _print_init(self):

@@ -158,6 +158,10 @@ class State(NamedTuple):
     # persisted KKT context (last factorization; used by adaptive barrier
     # probing solves, barrier.jl:260-302, which reuse the stale factor)
     ctx: object
+    # iteration-log snapshot, taken inside the step at the reference's
+    # print_iter position (solver.jl:235): [k, obj, inf_pr, inf_du,
+    # inf_compl, mu, del_w, alpha, ls, ftype, is_resto]
+    log_row: jax.Array
 
 
 def state_zeros(
@@ -224,4 +228,5 @@ def state_zeros(
         theta=theta,
         qn=qn_zeros(n, qn_mem),
         ctx=ctx,
+        log_row=jnp.zeros((11,)),
     )

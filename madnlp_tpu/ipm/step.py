@@ -50,6 +50,15 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
+
+def _log_row(st, mu, inf_pr, inf_du, inf_compl, is_resto):
+    return jnp.stack([
+        st.k.astype(jnp.float64), st.obj_val, inf_pr, inf_du, inf_compl,
+        mu, st.del_w, st.alpha, st.l_cnt.astype(jnp.float64),
+        st.ftype.astype(jnp.float64), jnp.asarray(1.0 if is_resto else 0.0),
+    ])
+
+
 class Kernel:
     """Closes over the static problem/options; exposes pure step functions."""
 
@@ -916,7 +925,10 @@ class Kernel:
 
         sd, sc = self._sd_sc(st)
         inf_pr, inf_du, inf_compl = self._residuals(st, sd, sc)
-        st = st._replace(inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl)
+        st = st._replace(
+            inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl,
+            log_row=_log_row(st, st.mu, inf_pr, inf_du, inf_compl, False),
+        )
 
         # termination (solver.jl:239-246)
         inf_total = jnp.maximum(inf_pr, jnp.maximum(inf_du, inf_compl))
@@ -1069,6 +1081,7 @@ class Kernel:
                 st = st._replace(
                     inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl,
                     inf_compl_mu=icm,
+                    log_row=_log_row(st, st.mu, inf_pr, inf_du, inf_compl, False),
                 )
                 if not o.hessian_constant:
                     st = self._refresh_hessian(st)
@@ -1377,6 +1390,9 @@ class Kernel:
             RR=RR._replace(
                 inf_pr_R=inf_pr_R, inf_du_R=inf_du_R, inf_compl_R=inf_compl_R
             ),
+        )
+        st = st._replace(
+            log_row=_log_row(st, st.RR.mu_R, inf_pr_R, inf_du_R, inf_compl_R, True)
         )
 
         err_R = jnp.maximum(inf_pr_R, jnp.maximum(inf_du_R, inf_compl_R))
