@@ -19,11 +19,14 @@ if os.environ.get("MADNLP_TPU_NO_X64", "0") != "1":
 
 # Persistent compilation cache: whole-solver jits take minutes to compile
 # through the remote TPU compile service; cache them across processes.
+# TPU-only: CPU AOT cache entries are machine-feature-sensitive (risk of
+# SIGILL when loaded under different CPU flags).
 try:
-    _cache_dir = os.environ.get("MADNLP_TPU_CACHE", "/tmp/madnlp_tpu_jax_cache")
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    if getattr(jax.config, "jax_platforms", None) != "cpu":
+        _cache_dir = os.environ.get("MADNLP_TPU_CACHE", "/tmp/madnlp_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 except Exception:  # older jax without these flags
     pass
 

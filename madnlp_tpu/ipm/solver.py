@@ -320,7 +320,7 @@ class MadNLPSolver:
             self._solve_jit = jax.jit(whole)
         return self._whole_fn
 
-    def solve_batch(self, params_batch, sharding=None):
+    def solve_batch(self, params_batch, sharding=None, chunk_size=None):
         """Solve a batch of same-structure instances with one ``vmap``-ed XLA
         computation — the analogue of cuDSS uniform batching
         (ext/MadNLPGPUCUDAExt/cudss.jl:139-148) lifted to the whole solver.
@@ -329,14 +329,43 @@ class MadNLPSolver:
         ``sharding``: optional ``jax.sharding.NamedSharding`` for the batch
         axis (data-parallel over a device mesh).
 
+        ``chunk_size``: solve the batch in vmapped chunks via ``lax.map`` —
+        a straggler instance then only stalls its own chunk instead of the
+        whole batch (the batched while_loop runs every lane to the slowest
+        instance's iteration count).
+
         Returns the final batched :class:`State`; summary arrays via
         :func:`batch_summary`."""
         whole = self._build_solve_jit()
-        if self._solve_batch_jit is None:
-            self._solve_batch_jit = jax.jit(jax.vmap(whole))
-        fn = self._solve_batch_jit
         if sharding is not None:
             params_batch = jax.device_put(params_batch, sharding)
+        if chunk_size is None:
+            if self._solve_batch_jit is None:
+                self._solve_batch_jit = jax.jit(jax.vmap(whole))
+            fn = self._solve_batch_jit
+        else:
+            key = ("chunked", chunk_size)
+            if getattr(self, "_solve_batch_chunked", None) is None:
+                self._solve_batch_chunked = {}
+            if key not in self._solve_batch_chunked:
+                self._solve_batch_chunked[key] = jax.jit(
+                    lambda pb: jax.lax.map(
+                        jax.vmap(whole),
+                        pb.reshape((-1, chunk_size) + pb.shape[1:]),
+                    )
+                )
+
+            def fn(pb):
+                assert pb.shape[0] % chunk_size == 0, (
+                    "batch size must be a multiple of chunk_size"
+                )
+                st = self._solve_batch_chunked[key](pb)
+                # explicit product (a "-1" reshape fails on zero-size leaves)
+                return jax.tree_util.tree_map(
+                    lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
+                    st,
+                )
+
         st = fn(params_batch)
         st.status.block_until_ready()
         return st
