@@ -63,7 +63,16 @@ def _ldlt_unblocked(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def ldlt_factorize(A: jax.Array, block: int = 64) -> LDLFactor:
-    """Factorize symmetric ``A = L D Lᵀ`` (full matrix input, no pivoting)."""
+    """Factorize symmetric ``A = L D Lᵀ`` (full matrix input, no pivoting).
+
+    Right-looking and blocked, but *rolled*: one ``lax.fori_loop`` over
+    block-columns with masked full-width GEMM updates.  Compared to a
+    trace-time-unrolled loop this compiles in O(1) program size (the
+    unrolled variant took tens of minutes through the remote TPU compiler
+    at N≈6000) and keeps every O(N³) operation MXU-shaped: the trailing
+    update is an (N, b) × (b, N) GEMM per step with rows masked instead of
+    sliced, trading ≈3× redundant FLOPs — the cheap currency on TPU — for
+    static shapes and a short program."""
     n = A.shape[0]
     nb = max(1, -(-n // block))
     np_ = nb * block
@@ -78,27 +87,36 @@ def ldlt_factorize(A: jax.Array, block: int = 64) -> LDLFactor:
             ]
         )
 
-    L = jnp.zeros((np_, np_), dtype=A.dtype)
-    d = jnp.zeros((np_,), dtype=A.dtype)
-    trail = A
-    for k in range(nb):
-        lo = k * block
-        hi = lo + block
-        Akk = trail[lo:hi, lo:hi]
+    eye_b = jnp.eye(block, dtype=A.dtype)
+    rows = jnp.arange(np_)
+
+    def body(k, carry):
+        Awork, L, d = carry
+        kb = k * block
+        Akk = jax.lax.dynamic_slice(Awork, (kb, kb), (block, block))
         Lkk, dk = _ldlt_unblocked(Akk)
-        L = L.at[lo:hi, lo:hi].set(Lkk)
-        d = d.at[lo:hi].set(dk)
-        if hi < np_:
-            B = trail[hi:, lo:hi]                       # (r, b)
-            # X = B Lkk⁻ᵀ  (each row solves Lkk xᵀ = bᵀ)
-            X = solve_triangular(
-                Lkk, B.T, lower=True, unit_diagonal=True
-            ).T
-            dk_div = jnp.where(jnp.abs(dk) <= ZERO_PIVOT_TOL, jnp.inf, dk)
-            Lik = X / dk_div[None, :]
-            L = L.at[hi:, lo:hi].set(Lik)
-            # Trailing update: A₂₂ -= L₂₁ D L₂₁ᵀ = X · Likᵀ (MXU GEMM).
-            trail = trail.at[hi:, hi:].add(-X @ Lik.T)
+        # unit-lower inverse of the diagonal block (static small solve)
+        invLkk = solve_triangular(Lkk, eye_b, lower=True, unit_diagonal=True)
+        dk_div = jnp.where(jnp.abs(dk) <= ZERO_PIVOT_TOL, jnp.inf, dk)
+
+        Acol = jax.lax.dynamic_slice(Awork, (0, kb), (np_, block))  # (N, b)
+        X = Acol @ invLkk.T
+        below = rows >= kb + block
+        Lcol = jnp.where(below[:, None], X / dk_div[None, :], 0.0)
+        Xm = jnp.where(below[:, None], X, 0.0)
+        # trailing update (full-width masked GEMM — MXU)
+        Awork = Awork - Lcol @ Xm.T
+        # store the block column of L (diag block + sub-panel)
+        Lsave = Lcol + jax.lax.dynamic_update_slice(
+            jnp.zeros((np_, block), A.dtype), Lkk, (kb, 0)
+        )
+        L = jax.lax.dynamic_update_slice(L, Lsave, (0, kb))
+        d = jax.lax.dynamic_update_slice(d, dk, (kb,))
+        return Awork, L, d
+
+    L0 = jnp.zeros((np_, np_), dtype=A.dtype)
+    d0 = jnp.zeros((np_,), dtype=A.dtype)
+    _, L, d = jax.lax.fori_loop(0, nb, body, (A, L0, d0))
     return LDLFactor(L=L, d=d, n=n)
 
 
