@@ -66,6 +66,12 @@ class DenseKKT:
         # Mixed precision (the TPU strategy for emulated f64): factorize in
         # `opts.dtype`, keep the operator + Richardson refinement in f64.
         self.fact_dtype = jnp.dtype(opts.dtype)
+        sm = opts.solve_mode
+        if sm is None:
+            import jax as _jax
+
+            sm = "trisolve" if _jax.default_backend() == "cpu" else "inverse"
+        self.solve_mode = sm
 
     def _factorize_matrix(self, K, d_analytic=None):
         """Factorize with a symmetric conditioning scaling D K D (congruence
@@ -93,7 +99,10 @@ class DenseKKT:
         else:
             d = jnp.ones((K.shape[0],), K.dtype)
         Kf = (K * (d[:, None] * d[None, :])).astype(self.fact_dtype)
-        inner = ds.factorize(Kf, self.solver, block=self.opts.ldl_block_size)
+        inner = ds.factorize(
+            Kf, self.solver, block=self.opts.ldl_block_size,
+            solve_mode=self.solve_mode,
+        )
         return EquilibratedFactor(inner=inner, d=d)
 
     def _k25_scaling(self, dl, du_, size_dual: int):

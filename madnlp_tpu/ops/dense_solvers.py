@@ -66,13 +66,32 @@ def zero_factor(solver: LinearSolver, n: int, dtype, block: int = 64) -> DenseFa
     raise ValueError(solver)
 
 
-def factorize(K: jax.Array, solver: LinearSolver, block: int = 64) -> DenseFactor:
+def factorize(
+    K: jax.Array, solver: LinearSolver, block: int = 64,
+    solve_mode: str = "trisolve",
+) -> DenseFactor:
+    """``solve_mode="inverse"`` additionally inverts the triangular factor
+    at factorization time (one matrix triangular-solve — GEMM-shaped), so
+    every subsequent backsolve is two mat-vecs on the MXU instead of two
+    sequential triangular solves — the right trade on TPU where triangular
+    solves are latency-bound and the IPM performs many backsolves per
+    factorization (refinement × SOC × probing).  The extra inverse error
+    (~cond(L)·eps) is absorbed by the f64 iterative refinement."""
     n = K.shape[0]
     if solver == LinearSolver.LDL:
         f = _ldlt.ldlt_factorize(K, block=block)
+        if solve_mode == "inverse":
+            Linv = solve_triangular(
+                f.L, jnp.eye(f.L.shape[0], dtype=K.dtype), lower=True,
+                unit_diagonal=True,
+            )
+            return DenseFactor("ldl_inv", Linv, f.d, n)
         return DenseFactor("ldl", f.L, f.d, n)
     if solver == LinearSolver.CHOLESKY:
         L = jnp.linalg.cholesky(K)
+        if solve_mode == "inverse":
+            Linv = solve_triangular(L, jnp.eye(n, dtype=K.dtype), lower=True)
+            return DenseFactor("chol_inv", Linv, L, n)
         return DenseFactor("cholesky", L, jnp.zeros((0,), K.dtype), n)
     if solver == LinearSolver.LU:
         lu, piv = jax.scipy.linalg.lu_factor(K)
@@ -93,10 +112,21 @@ def solve(factor: DenseFactor, rhs: jax.Array) -> jax.Array:
     b = rhs[:, None] if squeeze else rhs
     if kind == "ldl":
         x = _ldlt.ldlt_solve(_ldlt.LDLFactor(factor.a, factor.b, factor.n), b)
+    elif kind == "ldl_inv":
+        Linv, d, n = factor.a, factor.b, factor.n
+        np_ = Linv.shape[0]
+        if np_ != n:
+            b = jnp.concatenate([b, jnp.zeros((np_ - n, b.shape[1]), b.dtype)])
+        z = Linv @ b
+        d_div = jnp.where(jnp.abs(d) <= _ldlt.ZERO_PIVOT_TOL, jnp.inf, d)
+        x = (Linv.T @ (z / d_div[:, None]))[:n]
     elif kind == "cholesky":
         L = factor.a
         z = solve_triangular(L, b, lower=True)
         x = solve_triangular(L.T, z, lower=False)
+    elif kind == "chol_inv":
+        Linv = factor.a
+        x = Linv.T @ (Linv @ b)
     elif kind == "lu":
         x = jax.scipy.linalg.lu_solve((factor.a, factor.b), b)
     elif kind == "evd":
@@ -118,9 +148,9 @@ def has_inertia(solver: LinearSolver) -> bool:
 def inertia(factor: DenseFactor) -> Tuple[jax.Array, jax.Array, jax.Array]:
     kind = factor.kind
     n = factor.n
-    if kind == "ldl":
+    if kind in ("ldl", "ldl_inv"):
         return _ldlt.ldlt_inertia(_ldlt.LDLFactor(factor.a, factor.b, n))
-    if kind == "cholesky":
+    if kind in ("cholesky", "chol_inv"):
         ok = jnp.all(jnp.isfinite(factor.a))
         zero = jnp.int32(0)
         return (

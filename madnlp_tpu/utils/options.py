@@ -231,6 +231,8 @@ class MadNLPOptions:
 
     # madnlp_tpu-specific
     dtype: str = "float64"         # "float64" | "float32" (factorization dtype)
+    solve_mode: Optional[str] = None  # "trisolve" | "inverse" | None (auto:
+    # "inverse" on TPU — backsolves become MXU mat-vecs; "trisolve" on CPU)
     kkt_scaling: str = "ruiz"      # "ruiz" | "k25" | "none" — conditioning
     # scaling applied inside the factorization (congruence; preserves
     # inertia).  "k25" is the analytic sqrt(Xi) scaling of the K2.5

@@ -28,6 +28,20 @@ def test_batched_solve_matches_individual():
         assert summ["iter"][i] == ref.iter
 
 
+def test_batched_solve_chunked():
+    model = dummy_qp.build_parametric(16, 4)
+    solver = MadNLPSolver(model)
+    rng = np.random.default_rng(5)
+    qs = jnp.asarray(rng.standard_normal((8, 16)))
+    st_full = solver.solve_batch(qs)
+    st_chunk = solver.solve_batch(qs, chunk_size=4)
+    s1 = batch_summary(solver.prob, st_full)
+    s2 = batch_summary(solver.prob, st_chunk)
+    np.testing.assert_array_equal(s1["status"], s2["status"])
+    np.testing.assert_array_equal(s1["iter"], s2["iter"])
+    np.testing.assert_allclose(s1["x"], s2["x"], atol=1e-12)
+
+
 def test_batched_solve_sharded_over_mesh():
     ndev = len(jax.devices())
     assert ndev == 8, "conftest should provide 8 virtual CPU devices"
