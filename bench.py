@@ -30,8 +30,8 @@ def main(nb=118):
 
     # Dense-Ybus model: power-flow evaluation and AD derivatives are MXU
     # matmuls; dense KKT assembly avoids TPU-hostile scatters.
-    def make_solver():
-        return MadNLPSolver(opf.build(nb=nb, seed=0), dtype="float32")
+    def make_solver(**kw):
+        return MadNLPSolver(opf.build(nb=nb, seed=0), dtype="float32", **kw)
 
     def timed_solve(solver):
         stats = solver.solve_jitted()  # compile + warm
@@ -55,7 +55,8 @@ def main(nb=118):
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                cpu_solver = make_solver()
+                # give the CPU its best configuration (triangular solves)
+                cpu_solver = make_solver(solve_mode="trisolve")
                 cpu_stats, t_cpu = timed_solve(cpu_solver)
             vs_baseline = t_cpu / t_dev
         except Exception:
