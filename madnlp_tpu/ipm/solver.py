@@ -115,9 +115,12 @@ class MadNLPSolver:
                     KKTSystem.SPARSE_CONDENSED: SparseCondensedKKT,
                 }.get(self.opts.kkt_system)
             else:
+                from ..kkt.unreduced import DenseUnreducedKKT
+
                 kkt_cls = {
                     KKTSystem.DENSE: DenseKKT,
                     KKTSystem.DENSE_CONDENSED: DenseCondensedKKT,
+                    KKTSystem.SPARSE_UNREDUCED: DenseUnreducedKKT,
                     # dense callbacks use dense storage for the condensed form
                     KKTSystem.SPARSE: DenseKKT,
                     KKTSystem.SPARSE_CONDENSED: DenseCondensedKKT,
