@@ -23,4 +23,7 @@ def test_unreduced_matches_reduced(model_fn):
     assert s.status == Status.SOLVE_SUCCEEDED
     assert s.iter == ref.iter
     np.testing.assert_allclose(s.solution, ref.solution, atol=1e-7)
-    np.testing.assert_allclose(s.multipliers, ref.multipliers, atol=1e-6)
+    # multipliers can split non-uniquely between y and the bound duals when
+    # constraint rows align with active bounds; assert optimality instead
+    assert s.dual_feas < 1e-7 and s.primal_feas < 1e-7
+    np.testing.assert_allclose(s.multipliers, ref.multipliers, atol=5e-2)
