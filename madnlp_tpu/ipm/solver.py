@@ -25,9 +25,9 @@ import numpy as np
 
 from ..kkt.condensed_dense import DenseCondensedKKT
 from ..kkt.dense import DenseKKT
-from ..models.model import DenseNLPModel, SparseNLPModel
+from ..models.model import SparseNLPModel
 from ..utils.options import KKTSystem, LinearSolver, MadNLPOptions, PrintLevel
-from ..utils.status import Status, get_status_output, is_success
+from ..utils.status import Status, get_status_output
 from . import kernels as K
 from .problem import build_problem
 from .state import State

@@ -17,14 +17,11 @@ foundation for fully-jitted solves, ``vmap`` batching, and sharding.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..kkt.dense import DenseKKT, KKTContext
-from ..kkt.vec import KKTVec, kkt_zeros
+from ..kkt.vec import KKTVec
 from ..utils.options import (
     DualInitialization,
     InertiaCorrection,
@@ -39,7 +36,7 @@ from .quasi_newton import (
     init_hessian_dense,
     lbfgs_update,
 )
-from .state import State, RRState, state_zeros
+from .state import State, state_zeros
 from ..utils.options import BarrierUpdate, HessianApproximation
 
 # Short aliases for status codes (traced as int32)

@@ -24,7 +24,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dense_solvers as ds
 from .dense import DenseKKT, KKTContext
 from .vec import KKTVec
 

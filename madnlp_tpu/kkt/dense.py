@@ -22,14 +22,14 @@ and is verified by the KKT round-trip contract test
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import dense_solvers as ds
 from ..ops.refine import solve_gmres, solve_refine
-from ..utils.options import LinearSolver, MadNLPOptions
+from ..utils.options import MadNLPOptions
 from .vec import KKTVec
 
 

@@ -25,11 +25,9 @@ materializations, which is what limits problem size on the evaluation side.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dense_solvers as ds
 from .dense import DenseKKT, KKTContext
 from .vec import KKTVec
 

@@ -17,7 +17,7 @@ Backends (reference: src/LinearSolvers/lapack_common.jl:47-109):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
