@@ -28,7 +28,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .dense import DenseKKT, KKTContext
+from ..ops.banded import (
+    BandStructure,
+    banded_factorize,
+    banded_inertia,
+    banded_solve,
+    ruiz_coo,
+)
+from ..utils.options import LinearSolver
+from .dense import DenseKKT, EquilibratedFactor, KKTContext
 from .vec import KKTVec
 
 
@@ -43,6 +51,98 @@ class SparseKKT(DenseKKT):
         self.hr = jnp.asarray(p.hess_rows)
         self.hc = jnp.asarray(p.hess_cols)
         self.h_offdiag = jnp.asarray(p.hess_rows != p.hess_cols)
+        self.banded = opts.linear_solver == LinearSolver.BANDED
+        if self.banded:
+            self._init_band_structure()
+
+    # -- block-banded backend (true sparse factorization) -------------------
+
+    def _band_pattern(self):
+        """Lower-COO pattern of the assembled matrix in ORIGINAL ordering.
+        Each symmetric entry appears exactly once."""
+        p = self.prob
+        N = p.nw + p.m
+        diag = np.arange(N, dtype=np.int64)
+        rows = np.concatenate(
+            [diag, p.nw + np.asarray(p.jac_rows_aug), np.asarray(p.hess_rows)]
+        )
+        cols = np.concatenate(
+            [diag, np.asarray(p.jac_cols_aug), np.asarray(p.hess_cols)]
+        )
+        return rows, cols, N
+
+    def _band_ordering(self):
+        """Quasidefinite-preserving interleaved ordering (see
+        ops/banded.py:kkt_interleaved_ordering) for the augmented system."""
+        from ..ops.banded import kkt_interleaved_ordering
+
+        p = self.prob
+        return kkt_interleaved_ordering(
+            p.hess_rows, p.hess_cols, p.jac_rows_aug, p.jac_cols_aug,
+            p.nw, p.m,
+        )
+
+    def _init_band_structure(self):
+        rows, cols, N = self._band_pattern()
+        self.bstruct = BandStructure(
+            rows, cols, N, block=self.opts.banded_block_size,
+            perm=self._band_ordering(),
+        )
+        self.band_idx = jnp.asarray(self.bstruct.map(rows, cols))
+        self.coo_rows = jnp.asarray(rows)
+        self.coo_cols = jnp.asarray(cols)
+        self._bperm = jnp.asarray(self.bstruct.perm)
+
+    def _band_values(self, pr_diag, du_diag, jac, hess, ctx_extras):
+        """COO value vector aligned with ``self.band_idx``."""
+        return jnp.concatenate([pr_diag, du_diag, jac, hess])
+
+    def _banded_factorize_coo(self, vals, d_analytic=None):
+        N = self.bstruct.N
+        mode = self.opts.kkt_scaling
+        if mode == "k25" and d_analytic is not None:
+            d = d_analytic
+        elif mode == "ruiz":
+            d = ruiz_coo(vals, self.coo_rows, self.coo_cols, N)
+        else:
+            d = jnp.ones((N,), vals.dtype)
+        scaled = vals * d[self.coo_rows] * d[self.coo_cols]
+        band = self.bstruct.assemble(self.band_idx, scaled, self.fact_dtype)
+        return EquilibratedFactor(inner=banded_factorize(self.bstruct, band), d=d)
+
+    def _backsolve(self, factor, rhs):
+        if not self.banded:
+            return super()._backsolve(factor, rhs)
+        scaled = (factor.d * rhs).astype(self.fact_dtype)
+        xp = banded_solve(self.bstruct, factor.inner, scaled[self._bperm])
+        out = jnp.zeros_like(scaled).at[self._bperm].set(xp).astype(rhs.dtype)
+        return factor.d * out
+
+    def inertia(self, ctx):
+        if not self.banded:
+            return super().inertia(ctx)
+        return banded_inertia(self.bstruct, ctx.factor.inner)
+
+    def zero_context(self):
+        if not self.banded:
+            return super().zero_context()
+        p = self.prob
+        factor = EquilibratedFactor(
+            inner=self.bstruct.zero_factor(self.fact_dtype),
+            d=jnp.ones((self.bstruct.N,)),
+        )
+        return KKTContext(
+            hess=p.hess_template(),
+            jac=p.jac_template(),
+            pr_diag=jnp.ones((p.nw,)),
+            du_diag=jnp.zeros((p.m,)),
+            reg=jnp.ones((p.nw,)),
+            dl=jnp.ones((p.nw,)),
+            du_=jnp.ones((p.nw,)),
+            zl=jnp.zeros((p.nw,)),
+            zu=jnp.zeros((p.nw,)),
+            factor=factor,
+        )
 
     # -- sparse products ---------------------------------------------------
 
@@ -73,6 +173,15 @@ class SparseKKT(DenseKKT):
     def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu):
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
+        if self.banded:
+            vals = jnp.concatenate([pr_diag, du_diag, jac, hess])
+            factor = self._banded_factorize_coo(
+                vals, self._k25_scaling(dl, du_, p.m)
+            )
+            return KKTContext(
+                hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
+                dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
+            )
         N = p.nw + p.m
         K = jnp.zeros((N, N))
         idx = jnp.arange(p.nw)
@@ -144,6 +253,29 @@ class SparseCondensedKKT(SparseKKT):
         self.pair_k = jnp.asarray(pk)
         self.nnz_jac = len(rows)  # model entries (before slack augmentation)
 
+    def _band_ordering(self):
+        return None  # condensed matrix is SPD: plain RCM is stable
+
+    def _band_pattern(self):
+        """Lower-COO pattern of the condensed matrix K = W + Σx + JᵀDJ.
+        Pair records are deduped to one per unordered entry pair (the dense
+        path adds both ordered records at mirrored positions; band storage
+        keeps the lower triangle only)."""
+        p = self.prob
+        from ..native import jtdj_pair_map
+
+        rows = np.asarray(p.model.jac_rows)
+        cols = np.asarray(p.model.jac_cols)
+        pr, pc, pa, pb, pk = jtdj_pair_map(rows, cols, p.m)
+        keep = pa <= pb
+        self.bpair_a = jnp.asarray(pa[keep])
+        self.bpair_b = jnp.asarray(pb[keep])
+        self.bpair_k = jnp.asarray(pk[keep])
+        diag = np.arange(p.n, dtype=np.int64)
+        rows_all = np.concatenate([diag, np.asarray(p.hess_rows), pr[keep]])
+        cols_all = np.concatenate([diag, np.asarray(p.hess_cols), pc[keep]])
+        return rows_all, cols_all, p.n
+
     def sys_size(self) -> int:
         return self.prob.n
 
@@ -158,6 +290,14 @@ class SparseCondensedKKT(SparseKKT):
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
         D = self._diag_buffer(pr_diag, du_diag)
         jv = jac[: self.nnz_jac]  # model entries; slack tail excluded
+        if self.banded:
+            w = D[self.bpair_k] * jv[self.bpair_a] * jv[self.bpair_b]
+            vals = jnp.concatenate([pr_diag[: p.n], hess, w])
+            factor = self._banded_factorize_coo(vals)
+            return KKTContext(
+                hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
+                dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
+            )
         K = jnp.zeros((p.n, p.n))
         idx = jnp.arange(p.n)
         K = K.at[idx, idx].add(pr_diag[: p.n])

@@ -142,7 +142,12 @@ def solve(factor: DenseFactor, rhs: jax.Array) -> jax.Array:
 
 
 def has_inertia(solver: LinearSolver) -> bool:
-    return solver in (LinearSolver.LDL, LinearSolver.CHOLESKY, LinearSolver.EVD)
+    return solver in (
+        LinearSolver.LDL,
+        LinearSolver.CHOLESKY,
+        LinearSolver.EVD,
+        LinearSolver.BANDED,
+    )
 
 
 def inertia(factor: DenseFactor) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -41,6 +41,9 @@ class LinearSolver(enum.Enum):
     LU = "lu"              # XLA LU; no inertia
     QR = "qr"              # XLA QR; no inertia
     EVD = "evd"            # XLA eigh; exact inertia (robust fallback)
+    BANDED = "banded"      # RCM + block-banded LDLᵀ (ops/banded.py) — the
+    # sparse direct factorization: O(N·w²) flops, O(N·w) memory; requires a
+    # sparse-callback KKT system (SPARSE / SPARSE_CONDENSED)
 
 
 class InertiaCorrection(enum.Enum):
@@ -240,6 +243,7 @@ class MadNLPOptions:
     # src/KKT/Sparse/scaled_augmented.jl) expressed as an equilibration.
     filter_capacity: int = 128     # filter kept as a fixed-capacity array (jit)
     ldl_block_size: int = 64       # block size of the blocked LDLᵀ kernel
+    banded_block_size: int = 64    # block size of the block-banded LDLᵀ
 
     # -- derived helpers --------------------------------------------------
     def resolve(self, *, dense_callback: bool, m: int) -> "MadNLPOptions":
