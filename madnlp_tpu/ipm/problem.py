@@ -252,6 +252,13 @@ class SparseProblem(Problem):
         return jnp.zeros((self.nnzj_aug,))
 
     def hess_template(self):
+        from ..utils.options import HessianApproximation
+        from .quasi_newton import lowrank_zeros
+
+        if self.opts.hessian_approximation == HessianApproximation.COMPACT_LBFGS:
+            # compact L-BFGS over a sparse KKT: σ-diagonal assembled, low-rank
+            # part applied via SMW (reference: src/IPM/factorization.jl:76-140)
+            return lowrank_zeros(self.n, self.opts.quasi_newton_options.max_history)
         return jnp.zeros((len(self.hess_rows),))
 
     def eval_jac(self, scal: Scaling, w, theta=None):

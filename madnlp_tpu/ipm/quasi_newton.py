@@ -30,6 +30,23 @@ from jax.scipy.linalg import solve_triangular
 from ..utils.options import BFGSInitStrategy, QuasiNewtonOptions
 
 
+class LowRankHessian(NamedTuple):
+    """Compact L-BFGS operator ``B = diag + V Vᵀ − U Uᵀ`` kept in factored
+    form for sparse KKT systems: the diagonal is assembled into the sparse
+    matrix, the low-rank part is applied by Sherman–Morrison–Woodbury at
+    solve time (reference: src/IPM/factorization.jl:76-140)."""
+
+    diag: jax.Array   # (n,) σ (or Gilbert–Lemaréchal init) diagonal
+    U: jax.Array      # (n, p)
+    V: jax.Array      # (n, p)
+
+
+def lowrank_zeros(n: int, p: int) -> LowRankHessian:
+    return LowRankHessian(
+        diag=jnp.zeros((n,)), U=jnp.zeros((n, p)), V=jnp.zeros((n, p))
+    )
+
+
 class QNState(NamedTuple):
     """Fixed-shape quasi-Newton memory (lives inside the solver State)."""
 
@@ -72,16 +89,29 @@ def curvature(strategy: BFGSInitStrategy, sk, yk):
     return jnp.ones(())  # CONSTANT
 
 
-def init_hessian_dense(n: int, g0, f0, init_value: float = 1.0):
-    """Gilbert–Lemaréchal initial estimate (quasi_newton.jl:194-206)."""
+def _gilbert_lemarechal_rho(g0, f0):
     eps = jnp.finfo(g0.dtype).eps
     norm_g0 = jnp.dot(g0, g0)
-    rho0 = jnp.where(
+    return jnp.where(
         norm_g0 < jnp.sqrt(eps),
         1.0,
         jnp.where(jnp.abs(f0) < eps, 1.0 / norm_g0, jnp.abs(f0) / norm_g0),
     )
-    return 2.0 * rho0 * init_value * jnp.eye(n)
+
+
+def init_hessian_dense(n: int, g0, f0, init_value: float = 1.0):
+    """Gilbert–Lemaréchal initial estimate (quasi_newton.jl:194-206)."""
+    return 2.0 * _gilbert_lemarechal_rho(g0, f0) * init_value * jnp.eye(n)
+
+
+def init_hessian_lowrank(lr: LowRankHessian, g0, f0, init_value: float = 1.0):
+    """Low-rank-form Gilbert–Lemaréchal init (same scalar, diag storage)."""
+    rho0 = _gilbert_lemarechal_rho(g0, f0)
+    return lr._replace(
+        diag=jnp.full_like(lr.diag, 2.0 * rho0 * init_value),
+        U=jnp.zeros_like(lr.U),
+        V=jnp.zeros_like(lr.V),
+    )
 
 
 def bfgs_update(Bk, qn: QNState, sk, yk, damped: bool):
@@ -120,9 +150,32 @@ def bfgs_update(Bk, qn: QNState, sk, yk, damped: bool):
 
 
 def lbfgs_update(Bk, qn: QNState, sk, yk, opts: QuasiNewtonOptions):
-    """Compact L-BFGS update; returns the dense formed operator and qn'.
+    """Compact L-BFGS update forming the dense operator (for dense KKT
+    systems); returns (Bk', qn')."""
+    n = Bk.shape[0]
+    return _lbfgs_update_generic(
+        Bk, qn, sk, yk, opts,
+        lambda _, s, U, V: s * jnp.eye(n) - U @ U.T + V @ V.T,
+    )
 
-    quasi_newton.jl:366-423 with fixed-size masked memory."""
+
+def lbfgs_update_compact(lr: LowRankHessian, qn: QNState, sk, yk,
+                         opts: QuasiNewtonOptions):
+    """Compact L-BFGS update kept in factored low-rank form (for sparse KKT
+    systems + SMW solve); returns (LowRankHessian', qn')."""
+    return _lbfgs_update_generic(
+        lr, qn, sk, yk, opts,
+        lambda lr, s, U, V: LowRankHessian(
+            diag=jnp.full_like(lr.diag, s), U=U, V=V
+        ),
+    )
+
+
+def _lbfgs_update_generic(Bk, qn: QNState, sk, yk, opts: QuasiNewtonOptions,
+                          form):
+    """Shared compact L-BFGS machinery (quasi_newton.jl:366-423 with
+    fixed-size masked memory); ``form(hess, sigma, U, V)`` builds the
+    output operator representation."""
     n, p = qn.Sk.shape
     eps = jnp.finfo(sk.dtype).eps
     norm_s = jnp.linalg.norm(sk)
@@ -182,9 +235,8 @@ def lbfgs_update(Bk, qn: QNState, sk, yk, opts: QuasiNewtonOptions):
         V = Yk * delta[None, :]
         U = sigma * Sk + V @ DkLk
         U = solve_triangular(Jk, U.T, lower=True).T      # U Jk⁻ᵀ
-        Bk_new = sigma * jnp.eye(n) - U @ U.T + V @ V.T
         qn = qn._replace(Sk=Sk, Yk=Yk, mem=mem, skipped=jnp.zeros((), jnp.int32))
-        return Bk_new, qn
+        return form(Bk, sigma, U, V), qn
 
     Bk, qn = lax.cond(skip, on_skip, on_update, (Bk, qn))
     return Bk, qn

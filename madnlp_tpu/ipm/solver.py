@@ -130,10 +130,14 @@ class MadNLPSolver:
                     f"KKT system {self.opts.kkt_system} not implemented yet"
                 )
             kkt = kkt_cls(self.prob, self.opts)
-        if self.prob.is_sparse and self.opts.hessian_approximation.name != "EXACT":
+        if self.prob.is_sparse and self.opts.hessian_approximation.name in (
+            "BFGS",
+            "DAMPED_BFGS",
+        ):
             raise NotImplementedError(
-                "quasi-Newton requires dense Hessian storage; use the dense "
-                "callback path (model.to_dense())"
+                "full-memory BFGS requires dense Hessian storage; use "
+                "COMPACT_LBFGS (low-rank + SMW over the sparse KKT) or the "
+                "dense callback path (model.to_dense())"
             )
         self.kernel = Kernel(self.prob, self.opts, kkt=kkt)
         self._init_fn = jax.jit(self.kernel.initialize)

@@ -17,6 +17,7 @@ foundation for fully-jitted solves, ``vmap`` batching, and sharding.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -33,6 +34,8 @@ from .problem import Problem, Scaling
 from .barrier import update_barrier_adaptive
 from .quasi_newton import (
     bfgs_update,
+    init_hessian_lowrank,
+    lbfgs_update_compact,
     init_hessian_dense,
     lbfgs_update,
 )
@@ -108,7 +111,8 @@ class Kernel:
                 yk = yk + st.jacl[:n]
                 yk = yk - p.eval_jtprod_x(st.scal, qn.last_x, st.y, theta_arg)
             if self.hess_approx == HessianApproximation.COMPACT_LBFGS:
-                hess, qn = lbfgs_update(
+                update = lbfgs_update_compact if p.is_sparse else lbfgs_update
+                hess, qn = update(
                     st.hess, qn, sk, yk, self.opts.quasi_newton_options
                 )
             else:
@@ -119,9 +123,16 @@ class Kernel:
             return st._replace(hess=hess, qn=qn)
 
         def init_qn(st):
-            hess = init_hessian_dense(
-                n, st.f[:n], st.obj_val, self.opts.quasi_newton_options.init_value
-            )
+            if p.is_sparse:
+                hess = init_hessian_lowrank(
+                    st.hess, st.f[:n], st.obj_val,
+                    self.opts.quasi_newton_options.init_value,
+                )
+            else:
+                hess = init_hessian_dense(
+                    n, st.f[:n], st.obj_val,
+                    self.opts.quasi_newton_options.init_value,
+                )
             return st._replace(hess=hess)
 
         st = lax.cond(st.grad_cnt >= 2, secant, init_qn, st)
@@ -228,6 +239,12 @@ class Kernel:
         exact = self.hess_approx == HessianApproximation.EXACT
         if exact:
             hess = p.eval_lag_hess(scal, w0, y0, theta_arg)
+        elif p.is_sparse:
+            # compact low-rank form (diag + SMW) over the sparse KKT
+            hess = init_hessian_lowrank(
+                p.hess_template(), f[: p.n], obj,
+                o.quasi_newton_options.init_value,
+            )
         else:
             # Gilbert-Lemarechal initial estimate (quasi_newton.jl:194-206)
             hess = init_hessian_dense(
@@ -264,7 +281,9 @@ class Kernel:
         )
         # NaN/Inf guards on the first evaluations (callbacks.jl:13-15)
         def bad(v):
-            return ~jnp.all(jnp.isfinite(v))
+            leaves = jax.tree_util.tree_leaves(v)
+            finite = [jnp.all(jnp.isfinite(l)) for l in leaves]
+            return ~jnp.all(jnp.stack(finite))
 
         status = st.status
         status = jnp.where(bad(st.hess), _i32(S.INVALID_NUMBER_HESSIAN_LAGRANGIAN), status)

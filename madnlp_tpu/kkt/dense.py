@@ -34,10 +34,17 @@ from .vec import KKTVec
 
 
 class EquilibratedFactor(NamedTuple):
-    """Dense factor of D·K·D plus the Ruiz scaling vector d."""
+    """Factor of D·K·D plus the Ruiz scaling vector d.  ``smw`` is the
+    optional Sherman–Morrison–Woodbury payload ``(E, T, S_lu)`` used when
+    the Hessian carries a compact L-BFGS low-rank part
+    (reference: src/IPM/factorization.jl:76-140): the assembled matrix is
+    K₀ (σ-diagonal only) and solves are corrected as
+    ``x = x₀ − T·S⁻¹·Eᵀx₀`` with ``T = K₀⁻¹Ẽ``, ``S = C + ẼᵀK₀⁻¹Ẽ``,
+    ``C = diag(−I, I)``, ``Ẽ = [U V]`` zero-padded to the system size."""
 
     inner: ds.DenseFactor
     d: jax.Array
+    smw: tuple = None
 
 
 class KKTContext(NamedTuple):
@@ -115,9 +122,53 @@ class DenseKKT:
 
     def _backsolve(self, factor: "EquilibratedFactor", rhs):
         # K x = b  ⟺  (DKD)(D⁻¹x) = D b
-        scaled = (factor.d * rhs).astype(self.fact_dtype)
+        d = factor.d if rhs.ndim == 1 else factor.d[:, None]
+        scaled = (d * rhs).astype(self.fact_dtype)
         out = ds.solve(factor.inner, scaled).astype(rhs.dtype)
-        return factor.d * out
+        return self._apply_smw(factor, d * out)
+
+    # -- compact L-BFGS low-rank correction (SMW) ---------------------------
+
+    def _apply_smw(self, factor: "EquilibratedFactor", x0):
+        if factor.smw is None:
+            return x0
+        E, T, S_lu = factor.smw
+        n = E.shape[0]
+        squeeze = x0.ndim == 1
+        xm = x0[:, None] if squeeze else x0
+        y = E.T @ xm[:n]
+        z = jax.scipy.linalg.lu_solve(S_lu, y)
+        xm = xm - T @ z
+        return xm[:, 0] if squeeze else xm
+
+    def _attach_smw(self, factor: "EquilibratedFactor", lr) -> "EquilibratedFactor":
+        """Precompute the SMW payload for the low-rank Hessian part
+        ``ΔW = V Vᵀ − U Uᵀ = E C Eᵀ`` at factorization time: 2p backsolves
+        (one multi-RHS solve) + one small dense LU."""
+        p_mem = lr.U.shape[1]
+        n = lr.U.shape[0]
+        N = self.sys_size()
+        E = jnp.concatenate([lr.U, lr.V], axis=1)            # (n, 2p)
+        Epad = jnp.zeros((N, 2 * p_mem), E.dtype).at[:n].set(E)
+        T = self._backsolve(factor, Epad)                    # K₀⁻¹ Ẽ
+        C = jnp.diag(
+            jnp.concatenate([-jnp.ones((p_mem,)), jnp.ones((p_mem,))])
+        )
+        S = C + E.T @ T[:n]
+        S_lu = jax.scipy.linalg.lu_factor(S)
+        return factor._replace(smw=(E, T, S_lu))
+
+    def _zero_smw(self, n: int, p_mem: int):
+        """Structure-matching zero SMW payload (pytree templates)."""
+        N = self.sys_size()
+        return (
+            jnp.zeros((n, 2 * p_mem)),
+            jnp.zeros((N, 2 * p_mem)),
+            (
+                jnp.eye(2 * p_mem),
+                jnp.arange(2 * p_mem, dtype=jnp.int32),
+            ),
+        )
 
     def sys_size(self) -> int:
         """Dimension of the assembled matrix."""

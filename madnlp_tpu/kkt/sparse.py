@@ -35,7 +35,8 @@ from ..ops.banded import (
     banded_solve,
     ruiz_coo,
 )
-from ..utils.options import LinearSolver
+from ..ipm.quasi_newton import LowRankHessian
+from ..utils.options import HessianApproximation, LinearSolver
 from .dense import DenseKKT, EquilibratedFactor, KKTContext
 from .vec import KKTVec
 
@@ -48,12 +49,25 @@ class SparseKKT(DenseKKT):
         p = prob
         self.jr = jnp.asarray(p.jac_rows_aug)
         self.jc = jnp.asarray(p.jac_cols_aug)
-        self.hr = jnp.asarray(p.hess_rows)
-        self.hc = jnp.asarray(p.hess_cols)
-        self.h_offdiag = jnp.asarray(p.hess_rows != p.hess_cols)
+        # compact L-BFGS: the Hessian block is σI (+ SMW low-rank at solve
+        # time) — the assembled pattern is just the diagonal
+        self.lowrank = (
+            opts.hessian_approximation == HessianApproximation.COMPACT_LBFGS
+        )
+        hr, hc = self._hess_pattern()
+        self.hr = jnp.asarray(hr)
+        self.hc = jnp.asarray(hc)
+        self.h_offdiag = jnp.asarray(hr != hc)
         self.banded = opts.linear_solver == LinearSolver.BANDED
         if self.banded:
             self._init_band_structure()
+
+    def _hess_pattern(self):
+        p = self.prob
+        if self.lowrank:
+            diag = np.arange(p.n, dtype=np.int64)
+            return diag, diag
+        return np.asarray(p.hess_rows), np.asarray(p.hess_cols)
 
     # -- block-banded backend (true sparse factorization) -------------------
 
@@ -63,12 +77,9 @@ class SparseKKT(DenseKKT):
         p = self.prob
         N = p.nw + p.m
         diag = np.arange(N, dtype=np.int64)
-        rows = np.concatenate(
-            [diag, p.nw + np.asarray(p.jac_rows_aug), np.asarray(p.hess_rows)]
-        )
-        cols = np.concatenate(
-            [diag, np.asarray(p.jac_cols_aug), np.asarray(p.hess_cols)]
-        )
+        hr, hc = self._hess_pattern()
+        rows = np.concatenate([diag, p.nw + np.asarray(p.jac_rows_aug), hr])
+        cols = np.concatenate([diag, np.asarray(p.jac_cols_aug), hc])
         return rows, cols, N
 
     def _band_ordering(self):
@@ -77,9 +88,9 @@ class SparseKKT(DenseKKT):
         from ..ops.banded import kkt_interleaved_ordering
 
         p = self.prob
+        hr, hc = self._hess_pattern()
         return kkt_interleaved_ordering(
-            p.hess_rows, p.hess_cols, p.jac_rows_aug, p.jac_cols_aug,
-            p.nw, p.m,
+            hr, hc, p.jac_rows_aug, p.jac_cols_aug, p.nw, p.m,
         )
 
     def _init_band_structure(self):
@@ -92,10 +103,6 @@ class SparseKKT(DenseKKT):
         self.coo_rows = jnp.asarray(rows)
         self.coo_cols = jnp.asarray(cols)
         self._bperm = jnp.asarray(self.bstruct.perm)
-
-    def _band_values(self, pr_diag, du_diag, jac, hess, ctx_extras):
-        """COO value vector aligned with ``self.band_idx``."""
-        return jnp.concatenate([pr_diag, du_diag, jac, hess])
 
     def _banded_factorize_coo(self, vals, d_analytic=None):
         N = self.bstruct.N
@@ -113,10 +120,11 @@ class SparseKKT(DenseKKT):
     def _backsolve(self, factor, rhs):
         if not self.banded:
             return super()._backsolve(factor, rhs)
-        scaled = (factor.d * rhs).astype(self.fact_dtype)
+        d = factor.d if rhs.ndim == 1 else factor.d[:, None]
+        scaled = (d * rhs).astype(self.fact_dtype)
         xp = banded_solve(self.bstruct, factor.inner, scaled[self._bperm])
         out = jnp.zeros_like(scaled).at[self._bperm].set(xp).astype(rhs.dtype)
-        return factor.d * out
+        return self._apply_smw(factor, d * out)
 
     def inertia(self, ctx):
         if not self.banded:
@@ -124,12 +132,19 @@ class SparseKKT(DenseKKT):
         return banded_inertia(self.bstruct, ctx.factor.inner)
 
     def zero_context(self):
+        zero_smw = (
+            self._zero_smw(self.prob.n, self.opts.quasi_newton_options.max_history)
+            if self.lowrank
+            else None
+        )
         if not self.banded:
-            return super().zero_context()
+            ctx = super().zero_context()
+            return ctx._replace(factor=ctx.factor._replace(smw=zero_smw))
         p = self.prob
         factor = EquilibratedFactor(
             inner=self.bstruct.zero_factor(self.fact_dtype),
             d=jnp.ones((self.bstruct.N,)),
+            smw=zero_smw,
         )
         return KKTContext(
             hess=p.hess_template(),
@@ -161,8 +176,16 @@ class SparseKKT(DenseKKT):
         return out.at[self.jr].add(jac_vals * v[self.jc])
 
     def hess_mul(self, hess_vals, v):
-        """(n,) symmetric product from the lower-triangular values."""
+        """(n,) symmetric product from the lower-triangular values (or the
+        compact L-BFGS operator B = diag − UUᵀ + VVᵀ)."""
         p = self.prob
+        if isinstance(hess_vals, LowRankHessian):
+            lr = hess_vals
+            return (
+                lr.diag * v
+                - lr.U @ (lr.U.T @ v)
+                + lr.V @ (lr.V.T @ v)
+            )
         out = jnp.zeros((p.n,), hess_vals.dtype)
         out = out.at[self.hr].add(hess_vals * v[self.hc])
         off = jnp.where(self.h_offdiag, hess_vals, 0.0)
@@ -173,28 +196,28 @@ class SparseKKT(DenseKKT):
     def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu):
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
+        hv = hess.diag if isinstance(hess, LowRankHessian) else hess
         if self.banded:
-            vals = jnp.concatenate([pr_diag, du_diag, jac, hess])
+            vals = jnp.concatenate([pr_diag, du_diag, jac, hv])
             factor = self._banded_factorize_coo(
                 vals, self._k25_scaling(dl, du_, p.m)
             )
-            return KKTContext(
-                hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
-                dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
-            )
-        N = p.nw + p.m
-        K = jnp.zeros((N, N))
-        idx = jnp.arange(p.nw)
-        K = K.at[idx, idx].add(pr_diag)
-        if p.m:
-            jdx = p.nw + jnp.arange(p.m)
-            K = K.at[jdx, jdx].add(du_diag)
-            K = K.at[p.nw + self.jr, self.jc].add(jac)
-            K = K.at[self.jc, p.nw + self.jr].add(jac)
-        K = K.at[self.hr, self.hc].add(hess)
-        off = jnp.where(self.h_offdiag, hess, 0.0)
-        K = K.at[self.hc, self.hr].add(off)
-        factor = self._factorize_matrix(K, self._k25_scaling(dl, du_, p.m))
+        else:
+            N = p.nw + p.m
+            K = jnp.zeros((N, N))
+            idx = jnp.arange(p.nw)
+            K = K.at[idx, idx].add(pr_diag)
+            if p.m:
+                jdx = p.nw + jnp.arange(p.m)
+                K = K.at[jdx, jdx].add(du_diag)
+                K = K.at[p.nw + self.jr, self.jc].add(jac)
+                K = K.at[self.jc, p.nw + self.jr].add(jac)
+            K = K.at[self.hr, self.hc].add(hv)
+            off = jnp.where(self.h_offdiag, hv, 0.0)
+            K = K.at[self.hc, self.hr].add(off)
+            factor = self._factorize_matrix(K, self._k25_scaling(dl, du_, p.m))
+        if isinstance(hess, LowRankHessian):
+            factor = self._attach_smw(factor, hess)
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
@@ -272,8 +295,9 @@ class SparseCondensedKKT(SparseKKT):
         self.bpair_b = jnp.asarray(pb[keep])
         self.bpair_k = jnp.asarray(pk[keep])
         diag = np.arange(p.n, dtype=np.int64)
-        rows_all = np.concatenate([diag, np.asarray(p.hess_rows), pr[keep]])
-        cols_all = np.concatenate([diag, np.asarray(p.hess_cols), pc[keep]])
+        hr, hc = self._hess_pattern()
+        rows_all = np.concatenate([diag, hr, pr[keep]])
+        cols_all = np.concatenate([diag, hc, pc[keep]])
         return rows_all, cols_all, p.n
 
     def sys_size(self) -> int:
@@ -290,24 +314,24 @@ class SparseCondensedKKT(SparseKKT):
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
         D = self._diag_buffer(pr_diag, du_diag)
         jv = jac[: self.nnz_jac]  # model entries; slack tail excluded
+        hv = hess.diag if isinstance(hess, LowRankHessian) else hess
         if self.banded:
             w = D[self.bpair_k] * jv[self.bpair_a] * jv[self.bpair_b]
-            vals = jnp.concatenate([pr_diag[: p.n], hess, w])
+            vals = jnp.concatenate([pr_diag[: p.n], hv, w])
             factor = self._banded_factorize_coo(vals)
-            return KKTContext(
-                hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
-                dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
-            )
-        K = jnp.zeros((p.n, p.n))
-        idx = jnp.arange(p.n)
-        K = K.at[idx, idx].add(pr_diag[: p.n])
-        K = K.at[self.hr, self.hc].add(hess)
-        off = jnp.where(self.h_offdiag, hess, 0.0)
-        K = K.at[self.hc, self.hr].add(off)
-        # JᵀDJ via the pair map — one fused scatter-add
-        w = D[self.pair_k] * jv[self.pair_a] * jv[self.pair_b]
-        K = K.at[self.pair_r, self.pair_c].add(w)
-        factor = self._factorize_matrix(K)
+        else:
+            K = jnp.zeros((p.n, p.n))
+            idx = jnp.arange(p.n)
+            K = K.at[idx, idx].add(pr_diag[: p.n])
+            K = K.at[self.hr, self.hc].add(hv)
+            off = jnp.where(self.h_offdiag, hv, 0.0)
+            K = K.at[self.hc, self.hr].add(off)
+            # JᵀDJ via the pair map — one fused scatter-add
+            w = D[self.pair_k] * jv[self.pair_a] * jv[self.pair_b]
+            K = K.at[self.pair_r, self.pair_c].add(w)
+            factor = self._factorize_matrix(K)
+        if isinstance(hess, LowRankHessian):
+            factor = self._attach_smw(factor, hess)
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,

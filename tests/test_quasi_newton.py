@@ -73,3 +73,43 @@ def test_lbfgs_unconstrained_rosenbrock():
         Status.SOLVED_TO_ACCEPTABLE_LEVEL,
     ), stats
     np.testing.assert_allclose(stats.solution, np.ones(10), atol=1e-5)
+
+
+def test_lbfgs_sparse_smw_matches_dense():
+    """Compact L-BFGS over the SPARSE KKT (σ-diagonal assembled, low-rank by
+    Sherman–Morrison–Woodbury at solve time, reference:
+    src/IPM/factorization.jl:76-140) must reproduce the dense-KKT L-BFGS
+    trajectory exactly."""
+    from madnlp_tpu import KKTSystem
+    from madnlp_tpu.models.instances import sparse_qp
+
+    ref = madnlp(
+        sparse_qp.build(n=60, m=15).to_dense(),
+        kkt_system=KKTSystem.DENSE,
+        hessian_approximation=HessianApproximation.COMPACT_LBFGS,
+    )
+    s = madnlp(
+        sparse_qp.build(n=60, m=15),
+        kkt_system=KKTSystem.SPARSE,
+        hessian_approximation=HessianApproximation.COMPACT_LBFGS,
+    )
+    assert s.status == Status.SOLVE_SUCCEEDED
+    assert s.iter == ref.iter
+    assert s.counters["hess_cnt"] == 0
+    np.testing.assert_allclose(s.objective, ref.objective, rtol=1e-8)
+    np.testing.assert_allclose(s.solution, ref.solution, atol=1e-6)
+
+
+def test_lbfgs_sparse_smw_banded():
+    """SMW low-rank correction composes with the block-banded backend."""
+    from madnlp_tpu import KKTSystem, LinearSolver
+    from madnlp_tpu.models.instances import sparse_qp
+
+    s = madnlp(
+        sparse_qp.build(n=60, m=15),
+        kkt_system=KKTSystem.SPARSE,
+        linear_solver=LinearSolver.BANDED,
+        hessian_approximation=HessianApproximation.COMPACT_LBFGS,
+    )
+    assert s.status == Status.SOLVE_SUCCEEDED
+    assert s.counters["hess_cnt"] == 0
