@@ -29,9 +29,14 @@ class TwoStageStructure:
     ms: int   # per-scenario constraints
 
 
-def build(N=4, nv=6, nd=3, ms=3, n_eq=1, seed=0):
+def build(N=4, nv=6, nd=3, ms=3, n_eq=1, seed=0, parametric=False):
     """Returns ``(DenseNLPModel, TwoStageStructure)``; the first ``n_eq``
-    rows of every scenario are equality constraints."""
+    rows of every scenario are equality constraints.
+
+    ``parametric=True`` adds a scalar load parameter θ shifting every
+    scenario right-hand side (``b_k + 0.02·θ``) — enables ``vmap``/sharded
+    *batches of two-stage instances* on top of the scenario-sharded Schur
+    KKT (DCN batch axis × ICI scenario axis)."""
     rng = np.random.default_rng(seed)
     Q = rng.standard_normal((nv, nv))
     Q = Q @ Q.T + nv * np.eye(nv)
@@ -62,7 +67,7 @@ def build(N=4, nv=6, nd=3, ms=3, n_eq=1, seed=0):
         d = x[N * nv :]
         return V, d
 
-    def obj(x):
+    def obj(x, *th):
         V, d = split(x)
         return (
             0.5 * jnp.einsum("ki,ij,kj->", V, Qj, V)
@@ -71,25 +76,26 @@ def build(N=4, nv=6, nd=3, ms=3, n_eq=1, seed=0):
             + rj @ d
         )
 
-    def cons(x):
+    def cons(x, *th):
         V, d = split(x)
-        C = V @ Bj.T + (Fj @ d)[None, :] + bsj  # (N, ms)
+        shift = 0.02 * th[0] if parametric else 0.0
+        C = V @ Bj.T + (Fj @ d)[None, :] + bsj + shift  # (N, ms)
         return C.reshape(-1)
 
-    def grad(x):
+    def grad(x, *th):
         V, d = split(x)
         gV = V @ Qj.T + qsj
         gd = Rj @ d + rj
         return jnp.concatenate([gV.reshape(-1), gd])
 
-    def jac(x):
+    def jac(x, *th):
         J = jnp.zeros((m, n))
         for k in range(N):
             J = J.at[k * ms : (k + 1) * ms, k * nv : (k + 1) * nv].set(Bj)
             J = J.at[k * ms : (k + 1) * ms, N * nv :].set(Fj)
         return J
 
-    def lag_hess(x, y, ow):
+    def lag_hess(x, y, ow, *th):
         H = jnp.zeros((n, n))
         for k in range(N):
             H = H.at[k * nv : (k + 1) * nv, k * nv : (k + 1) * nv].set(ow * Qj)
@@ -109,6 +115,7 @@ def build(N=4, nv=6, nd=3, ms=3, n_eq=1, seed=0):
         uvar=np.ones(n),
         lcon=np.tile(gl, N),
         ucon=np.tile(gu, N),
+        params=np.zeros(()) if parametric else None,
         name=f"twostage_qp_N{N}",
     )
     return model, TwoStageStructure(N=N, nv=nv, nd=nd, ms=ms)
