@@ -26,6 +26,7 @@ import numpy as np
 from ..kkt.condensed_dense import DenseCondensedKKT
 from ..kkt.dense import DenseKKT
 from ..models.model import SparseNLPModel
+from ..utils import log as logfmt
 from ..utils.options import KKTSystem, LinearSolver, MadNLPOptions, PrintLevel
 from ..utils.status import Status, get_status_output
 from . import kernels as K
@@ -166,53 +167,51 @@ class MadNLPSolver:
                 self._output_fh.flush()
 
     def _print_iter(self, st: State):
-        """Ipopt-format iteration line from the in-step log snapshot
-        (reference: print_iter, src/IPM/utils.jl:161-188)."""
+        """Ipopt-format iteration line from the in-step log snapshot —
+        byte-compatible with the reference (print_iter,
+        src/IPM/utils.jl:161-188; formatters in utils/log.py)."""
         if self.opts.print_level > PrintLevel.INFO and not self.opts.output_file:
             return
         row = np.asarray(st.log_row)
         k = int(row[0])
-        is_resto = row[10] != 0.0
         if k % 10 == 0:
-            self._print(
-                "iter    objective    inf_pr   inf_du inf_compl lg(mu) lg(rg) "
-                "alpha_pr ls",
-                PrintLevel.INFO,
-            )
+            self._print(logfmt.ITER_HEADER, PrintLevel.INFO)
         obj_scale = float(st.scal.obj_scale)
-        lg_mu = float(np.log10(max(row[5], 1e-300)))
-        del_w = row[6]
-        rg = "   - " if del_w == 0 else f"{np.log10(del_w):5.1f}"
-        ftype = K.FTYPE_CHARS.get(int(row[9]), " ")
         self._print(
-            f"{k:4d}{'r' if is_resto else ' '}"
-            f"{row[1] * self.prob.sign / obj_scale: 10.7e} "
-            f"{row[2]:6.2e} {row[3]:6.2e} {row[4]:7.2e} {lg_mu:5.1f} "
-            f"{rg} {row[7]:6.2e} {int(row[8]):2d}{ftype}",
+            logfmt.format_iter(
+                k,
+                row[11] != 0.0,
+                row[1] / obj_scale,
+                row[2], row[3], row[4],
+                float(np.log10(max(row[5], 1e-300))),
+                row[6], row[7],
+                int(row[8]), int(row[9]),
+                K.FTYPE_CHARS.get(int(row[10]), " "),
+            ),
             PrintLevel.INFO,
         )
 
     def _print_summary(self, st: State, stats: "ExecutionStats"):
-        """EXIT summary (reference: print_summary, src/IPM/utils.jl:190-219)."""
+        """EXIT summary — byte-compatible with the reference
+        (print_summary, src/IPM/utils.jl:190-219)."""
         obj_scale = float(st.scal.obj_scale)
         c = stats.counters
-        p = self._print
-        p("")
-        p(f"Number of Iterations....: {stats.iter}\n")
-        p("                                   (scaled)                 (unscaled)")
-        p(f"Objective...............:  {float(st.obj_val): 1.16e}   {stats.objective: 1.16e}")
-        p(f"Dual infeasibility......:   {stats.dual_feas:1.16e}    {stats.dual_feas / obj_scale:1.16e}")
         cviol = float(np.max(np.abs(np.asarray(st.c)), initial=0.0))
-        p(f"Constraint violation....:   {cviol:1.16e}    {stats.primal_feas:1.16e}")
-        p(f"Complementarity.........:   {float(st.inf_compl) * obj_scale:1.16e}    {float(st.inf_compl):1.16e}\n")
-        p(f"Number of objective function evaluations              = {c['obj_cnt']}")
-        p(f"Number of objective gradient evaluations              = {c['grad_cnt']}")
-        p(f"Number of constraint evaluations                      = {c['con_cnt']}")
-        p(f"Number of constraint Jacobian evaluations             = {c['jac_cnt']}")
-        p(f"Number of Lagrangian Hessian evaluations              = {c['hess_cnt']}")
-        p(f"Number of KKT factorizations                          = {c['factorization_cnt']}")
-        p(f"Number of KKT backsolves                              = {c['backsolve_cnt']}")
-        p(f"Total wall secs                                       = {stats.solve_time:6.3f} s\n")
+        for line in logfmt.format_summary(
+            stats.iter,
+            float(st.obj_val),
+            float(st.obj_val) / obj_scale,
+            stats.dual_feas,
+            stats.primal_feas,
+            cviol,
+            float(st.inf_compl),
+            obj_scale,
+            c["obj_cnt"], c["grad_cnt"], c["con_cnt"], c["jac_cnt"],
+            c["hess_cnt"], c["factorization_cnt"], c["backsolve_cnt"],
+            init_time=getattr(self, "_init_time", float("nan")),
+            total_time=stats.solve_time,
+        ):
+            self._print(line)
 
     # ------------------------------------------------------------------
 
@@ -238,6 +237,8 @@ class MadNLPSolver:
             st = self._reinit_fn(self.state, theta)
         else:
             st = self._init_fn(theta)
+            jax.block_until_ready(st.status)
+            self._init_time = time.time() - t0
             self._print_init()
         status = int(st.status)
         while status in _ACTIVE:
@@ -274,18 +275,33 @@ class MadNLPSolver:
         return stats
 
     def _print_init(self):
-        """print_init (src/IPM/utils.jl:139-160)."""
+        """print_init — byte-compatible with the reference
+        (src/IPM/utils.jl:139-160)."""
         if self.opts.print_level > PrintLevel.NOTICE:
             return
         p = self.prob
+        model = p.model
+        if getattr(model, "is_dense", True):
+            nnzj = model.m * model.n
+            nnzh = model.n * (model.n + 1) // 2
+        else:
+            nnzj = len(model.jac_rows)
+            nnzh = len(model.hess_rows)
         lb, ub = p.lb_mask[: p.n], p.ub_mask[: p.n]
         n_free = int((~(p.fixed_mask)).sum()) if p.fixed_mask.any() else p.n
-        print(f"Total number of variables............................: {n_free:8d}")
-        print(f"                     variables with only lower bounds: {int((lb & ~ub).sum()):8d}")
-        print(f"                variables with lower and upper bounds: {int((lb & ub).sum()):8d}")
-        print(f"                     variables with only upper bounds: {int((~lb & ub).sum()):8d}")
-        print(f"Total number of equality constraints.................: {p.n_eq:8d}")
-        print(f"Total number of inequality constraints...............: {p.ns:8d}")
+        lcon = np.asarray(model.lcon) if p.m else np.zeros(0)
+        ucon = np.asarray(model.ucon) if p.m else np.zeros(0)
+        ineq = p.ineq_mask
+        c_lb = (lcon > -np.inf) & ~(ucon < np.inf) & ineq
+        c_ub = ~(lcon > -np.inf) & (ucon < np.inf) & ineq
+        c_both = (lcon > -np.inf) & (ucon < np.inf) & ineq
+        for line in logfmt.format_init(
+            nnzj, nnzh, n_free,
+            int((lb & ~ub).sum()), int((lb & ub).sum()), int((~lb & ub).sum()),
+            p.n_eq, p.ns,
+            int(c_lb.sum()), int(c_both.sum()), int(c_ub.sum()),
+        ):
+            self._print(line)
 
     def solve_jitted(self, params=None) -> ExecutionStats:
         """Whole solve as one XLA computation (no host round trips)."""

@@ -132,6 +132,7 @@ class State(NamedTuple):
     t_cnt: jax.Array
     factorization_cnt: jax.Array
     backsolve_cnt: jax.Array
+    last_ir: jax.Array      # refinement iters of the most recent KKT solve
     obj_cnt: jax.Array
     grad_cnt: jax.Array
     con_cnt: jax.Array
@@ -160,7 +161,7 @@ class State(NamedTuple):
     ctx: object
     # iteration-log snapshot, taken inside the step at the reference's
     # print_iter position (solver.jl:235): [k, obj, inf_pr, inf_du,
-    # inf_compl, mu, del_w, alpha, ls, ftype, is_resto]
+    # inf_compl, mu, del_w, alpha, ir, ls, ftype, is_resto]
     log_row: jax.Array
 
 
@@ -211,6 +212,7 @@ def state_zeros(
         t_cnt=i0,
         factorization_cnt=i0,
         backsolve_cnt=i0,
+        last_ir=i0,
         obj_cnt=i0,
         grad_cnt=i0,
         con_cnt=i0,
@@ -228,5 +230,5 @@ def state_zeros(
         theta=theta,
         qn=qn_zeros(n, qn_mem),
         ctx=ctx,
-        log_row=jnp.zeros((11,)),
+        log_row=jnp.zeros((12,)),
     )

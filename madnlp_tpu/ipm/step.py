@@ -54,8 +54,9 @@ def _i32(v):
 def _log_row(st, mu, inf_pr, inf_du, inf_compl, is_resto):
     return jnp.stack([
         st.k.astype(jnp.float64), st.obj_val, inf_pr, inf_du, inf_compl,
-        mu, st.del_w, st.alpha, st.l_cnt.astype(jnp.float64),
-        st.ftype.astype(jnp.float64), jnp.asarray(1.0 if is_resto else 0.0),
+        mu, st.del_w, st.alpha, st.last_ir.astype(jnp.float64),
+        st.l_cnt.astype(jnp.float64), st.ftype.astype(jnp.float64),
+        jnp.asarray(1.0 if is_resto else 0.0),
     ])
 
 
@@ -491,6 +492,7 @@ class Kernel:
         st = st._replace(
             factorization_cnt=st.factorization_cnt + 1,
             backsolve_cnt=st.backsolve_cnt + it0,
+            last_ir=it0,
         )
 
         def cond(carry):
@@ -513,6 +515,7 @@ class Kernel:
             stc2 = stc._replace(
                 factorization_cnt=stc.factorization_cnt + 1,
                 backsolve_cnt=stc.backsolve_cnt + iters,
+                last_ir=iters,
             )
             # on failure keep previous payloads (they won't be used)
             return lax.cond(
@@ -545,6 +548,7 @@ class Kernel:
         st = st._replace(
             factorization_cnt=st.factorization_cnt + 1,
             backsolve_cnt=st.backsolve_cnt + it0,
+            last_ir=it0,
         )
 
         def cond(carry):
@@ -564,6 +568,7 @@ class Kernel:
             stc2 = stc._replace(
                 factorization_cnt=stc.factorization_cnt + 1,
                 backsolve_cnt=stc.backsolve_cnt + iters,
+                last_ir=iters,
             )
             return lax.cond(
                 fail_new,
@@ -618,6 +623,7 @@ class Kernel:
         st = st._replace(
             factorization_cnt=st.factorization_cnt + 1,
             backsolve_cnt=st.backsolve_cnt + it0,
+            last_ir=it0,
         )
 
         def cond(carry):
@@ -636,6 +642,7 @@ class Kernel:
             stc2 = stc._replace(
                 factorization_cnt=stc.factorization_cnt + 1,
                 backsolve_cnt=stc.backsolve_cnt + iters,
+                last_ir=iters,
             )
             return lax.cond(
                 fail_new,
@@ -672,7 +679,7 @@ class Kernel:
              x_t, obj_t, c_t, stc) = carry
             rhs = self._aug_rhs(stc, wy, stc.mu)
             w1, okr, iters = self.kkt.solve_refine(ctx, rhs)
-            stc = stc._replace(backsolve_cnt=stc.backsolve_cnt + iters)
+            stc = stc._replace(backsolve_cnt=stc.backsolve_cnt + iters, last_ir=iters)
             wx = w1.xp
             a_soc = K.get_alpha_max(stc.x, stc.xl, stc.xu, wx, stc.tau, self.lb, self.ub)
             x_soc = stc.x + a_soc * wx
@@ -1108,6 +1115,7 @@ class Kernel:
                     p=p_rhs, d=d2, ctx=ctx,
                     factorization_cnt=st.factorization_cnt + 1,
                     backsolve_cnt=st.backsolve_cnt + iters,
+                    last_ir=iters,
                     ftype=_i32(K.FTYPE_F),
                     status=_i32(S.RESTORE),
                 )
