@@ -9,6 +9,7 @@ jittable pure-function iteration steps, blocked MXU factorizations, and
 from . import _config  # noqa: F401  (enables x64 by default)
 
 from .models.model import DenseNLPModel, SparseNLPModel, NLPModel, create_model
+from .models.frontends import from_scipy, host_model
 from .utils.options import (
     MadNLPOptions,
     KKTSystem,
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DenseNLPModel", "SparseNLPModel", "NLPModel", "create_model",
+    "from_scipy", "host_model",
     "MadNLPOptions", "KKTSystem", "LinearSolver", "InertiaCorrection",
     "BarrierUpdate", "FixedVariableTreatment", "EqualityTreatment",
     "HessianApproximation", "PrintLevel", "Status", "is_success",
