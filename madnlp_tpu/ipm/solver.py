@@ -110,10 +110,12 @@ class MadNLPSolver:
         else:
             if self.prob.is_sparse:
                 from ..kkt.sparse import SparseCondensedKKT, SparseKKT
+                from ..kkt.unreduced import SparseUnreducedKKT
 
                 kkt_cls = {
                     KKTSystem.SPARSE: SparseKKT,
                     KKTSystem.SPARSE_CONDENSED: SparseCondensedKKT,
+                    KKTSystem.SPARSE_UNREDUCED: SparseUnreducedKKT,
                 }.get(self.opts.kkt_system)
             else:
                 from ..kkt.unreduced import DenseUnreducedKKT

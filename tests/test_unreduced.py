@@ -30,3 +30,36 @@ def test_unreduced_matches_reduced(model_fn, iter_slack):
     assert s.dual_feas < 1e-7 and s.primal_feas < 1e-7
     if iter_slack == 0:
         np.testing.assert_allclose(s.multipliers, ref.multipliers, atol=5e-2)
+
+
+def test_sparse_unreduced_matches_reference():
+    """Sparse-storage unreduced system (SparseUnreducedKKT): bound-dual rows
+    interleaved after their variables in the banded ordering."""
+    import numpy as np
+    from madnlp_tpu import KKTSystem, LinearSolver, Status, madnlp
+    from madnlp_tpu.kkt.unreduced import SparseUnreducedKKT
+    from madnlp_tpu.models.instances import sparse_qp
+
+    ref = madnlp(sparse_qp.build(n=120, m=30, n_eq=4), kkt_system=KKTSystem.SPARSE)
+    for lin in (LinearSolver.LDL, LinearSolver.BANDED):
+        s = madnlp(
+            sparse_qp.build(n=120, m=30, n_eq=4),
+            kkt_system=KKTSystem.SPARSE_UNREDUCED,
+            linear_solver=lin,
+        )
+        assert s.status == Status.SOLVE_SUCCEEDED
+        np.testing.assert_allclose(s.solution, ref.solution, atol=1e-7)
+
+
+def test_sparse_unreduced_banded_f32():
+    import numpy as np
+    from madnlp_tpu import KKTSystem, LinearSolver, Status, madnlp
+    from madnlp_tpu.models.instances import opf
+
+    s = madnlp(
+        opf.build_sparse(nb=30, seed=1),
+        kkt_system=KKTSystem.SPARSE_UNREDUCED,
+        linear_solver=LinearSolver.BANDED,
+        dtype="float32",
+    )
+    assert s.status == Status.SOLVE_SUCCEEDED
