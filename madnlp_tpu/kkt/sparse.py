@@ -8,11 +8,11 @@ scatter through those maps — already the perfect formulation for XLA: here
 the maps are host-side numpy arrays baked into the trace, and assemblies
 are single fused ``scatter-add``s.
 
-Storage/factorization remain *dense* in this round (TPU has no sparse
-direct solver; the Pallas block-sparse Cholesky is the planned follow-up) —
-what the sparse path buys today is sparse **evaluation and assembly**:
-``nnz``-sized derivative arrays instead of dense (m, nw)/(n, n) AD
-materializations, which is what limits problem size on the evaluation side.
+Storage/factorization: dense scatter assembly by default, or — with
+``linear_solver=BANDED`` — the true sparse direct factorization
+(block-banded LDLᵀ, ``ops/banded.py``; fused Pallas VMEM kernels on TPU,
+``ops/pallas_banded.py``), where assembly scatters straight into band
+storage through host-precomputed flat maps.
 
 * :class:`SparseKKT` — reduced augmented system, scatter-assembled.
 * :class:`SparseCondensedKKT` — Lifted-KKT condensed system
@@ -103,6 +103,33 @@ class SparseKKT(DenseKKT):
         self.coo_rows = jnp.asarray(rows)
         self.coo_cols = jnp.asarray(cols)
         self._bperm = jnp.asarray(self.bstruct.perm)
+        # backend: fused Pallas VMEM kernels on TPU when the band fits
+        backend = self.opts.banded_backend
+        if backend == "auto":
+            import jax as _jax
+
+            from ..ops.pallas_banded import fits_vmem
+
+            backend = (
+                "pallas"
+                if _jax.default_backend() == "tpu" and fits_vmem(self.bstruct)
+                else "xla"
+            )
+        if backend in ("pallas", "pallas_interpret"):
+            import functools
+
+            from ..ops import pallas_banded as pb
+
+            interp = backend == "pallas_interpret"
+            self._band_factorize = functools.partial(
+                pb.pallas_banded_factorize, interpret=interp
+            )
+            self._band_solve = functools.partial(
+                pb.pallas_banded_solve, interpret=interp
+            )
+        else:
+            self._band_factorize = banded_factorize
+            self._band_solve = banded_solve
 
     def _banded_factorize_coo(self, vals, d_analytic=None):
         N = self.bstruct.N
@@ -115,14 +142,15 @@ class SparseKKT(DenseKKT):
             d = jnp.ones((N,), vals.dtype)
         scaled = vals * d[self.coo_rows] * d[self.coo_cols]
         band = self.bstruct.assemble(self.band_idx, scaled, self.fact_dtype)
-        return EquilibratedFactor(inner=banded_factorize(self.bstruct, band), d=d)
+        inner = self._band_factorize(self.bstruct, band)
+        return EquilibratedFactor(inner=inner, d=d)
 
     def _backsolve(self, factor, rhs):
         if not self.banded:
             return super()._backsolve(factor, rhs)
         d = factor.d if rhs.ndim == 1 else factor.d[:, None]
         scaled = (d * rhs).astype(self.fact_dtype)
-        xp = banded_solve(self.bstruct, factor.inner, scaled[self._bperm])
+        xp = self._band_solve(self.bstruct, factor.inner, scaled[self._bperm])
         out = jnp.zeros_like(scaled).at[self._bperm].set(xp).astype(rhs.dtype)
         return self._apply_smw(factor, d * out)
 

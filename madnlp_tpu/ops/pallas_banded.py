@@ -1,0 +1,225 @@
+"""Pallas TPU kernels for the block-banded LDLᵀ (ops/banded.py).
+
+The XLA implementation runs the factorization as an HLO `fori_loop` whose
+every step launches several small kernels (unblocked LDLᵀ, triangular solve,
+two GEMMs, dynamic-update-slices) — at case118..case1354 scale the wall
+clock is dominated by per-step dispatch, not FLOPs.  These kernels fuse the
+**entire factorization (and the entire backsolve) into one `pallas_call`**
+with the band resident in VMEM: the column loop is an in-kernel `fori_loop`,
+panel/trailing updates are MXU `jnp.dot`s, and the trailing-update scatter
+is a *static* `bw`-way unrolled read-modify-write of neighbouring band
+columns (bw is a small trace-time constant).
+
+VMEM budget: band bytes = (nb+bw)·(bw+1)·b²·4 — ≈4 MB for case1354-scale
+(N≈6k, b=64, bw=4), comfortably inside the ~16 MB/core budget.  Larger
+problems fall back to the XLA path (`banded.py`), which streams from HBM.
+
+Mosaic lowering rules honoured (learned in ops/pallas_ldlt.py): no
+value-space dynamic_slice (ref-level `pl.ds` only), all indices int32,
+no 0-D scalars, identities from iota comparisons, ≥2-D iota.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .banded import BandedFactor, BandStructure
+from .ldlt import ZERO_PIVOT_TOL
+
+MAX_VMEM_BYTES = 12 * 1024 * 1024  # leave headroom under the ~16MB budget
+
+
+def fits_vmem(struct: BandStructure, dtype_bytes: int = 4) -> bool:
+    band = struct.nbp * (struct.bw + 1) * struct.b * struct.b
+    invl = struct.nbp * struct.b * struct.b
+    return (band + invl + 2 * struct.nb * struct.b) * dtype_bytes < MAX_VMEM_BYTES
+
+
+def _unblocked_ldlt(A, block):
+    """(b, b) LDLᵀ: strict-lower L plus D on the diagonal (shared shape
+    discipline with ops/pallas_ldlt.py)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+    def body(j, A):
+        colj = jnp.sum(jnp.where(cols == j, A, 0.0), axis=1, keepdims=True)
+        dj = jnp.sum(jnp.where(ridx == j, colj, 0.0), axis=0, keepdims=True)
+        dj_div = jnp.where(jnp.abs(dj) <= ZERO_PIVOT_TOL, jnp.inf, dj)
+        lj = jnp.where(ridx > j, colj / dj_div, 0.0)
+        A = A - dj * (lj * jnp.transpose(lj))
+        newcol = jnp.where(ridx > j, lj, colj)
+        newcol = jnp.where(ridx == j, dj, newcol)
+        return jnp.where(cols == j, newcol, A)
+
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), body, A)
+
+
+def _unit_lower_inverse(L, block):
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+    def body(j, X):
+        colj = jnp.sum(jnp.where(cols == j, L, 0.0), axis=1, keepdims=True)
+        colj = jnp.where(ridx > j, colj, 0.0)
+        rowj = jnp.sum(jnp.where(rows == j, X, 0.0), axis=0, keepdims=True)
+        return X - colj * rowj
+
+    X0 = (rows == cols).astype(L.dtype)
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), body, X0)
+
+
+def _factorize_kernel(band_ref, out_ref, invl_ref, d_ref, *, nb, b, bw):
+    """Band layout (flattened columns): row ((j·(bw+1) + k)·b + r), col c
+    holds entry (r, c) of block (j+k, j)."""
+    stride = (bw + 1) * b
+    out_ref[:, :] = band_ref[:, :]
+    invl_ref[:, :] = jnp.zeros_like(invl_ref)
+    d_ref[:, :] = jnp.ones_like(d_ref)
+    tri = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) > (
+        jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    )
+    eye_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    )
+
+    def outer(j, _):
+        off = j * jnp.int32(stride)
+        Akk = out_ref[pl.ds(off, b), :]
+        LD = _unblocked_ldlt(Akk, b)
+        Lkk = jnp.where(tri, LD, 0.0) + eye_b.astype(LD.dtype)
+        dk = jnp.sum(jnp.where(eye_b, LD, 0.0), axis=1, keepdims=True)  # (b,1)
+        invLkk = _unit_lower_inverse(Lkk, b)
+        dk_div = jnp.where(jnp.abs(dk) <= ZERO_PIVOT_TOL, jnp.inf, dk)
+
+        P = out_ref[pl.ds(off + b, bw * b), :]                # (bw·b, b)
+        X = jnp.dot(P, invLkk.T, preferred_element_type=P.dtype)
+        Lcol = X / jnp.transpose(dk_div)                      # (bw·b, b)
+        G = jnp.dot(Lcol, X.T, preferred_element_type=P.dtype)  # (bw·b, bw·b)
+
+        # trailing update: static unroll over target columns l = 1..bw
+        for l in range(1, bw + 1):
+            offl = (j + jnp.int32(l)) * jnp.int32(stride)
+            rows_cnt = (bw + 1 - l) * b     # blocks m = 0..bw-l exist in G
+            upd = G[
+                (l - 1) * b : (l - 1 + (bw + 1 - l)) * b,
+                (l - 1) * b : l * b,
+            ]                                                  # (rows_cnt, b)
+            cur = out_ref[pl.ds(offl, rows_cnt), :]
+            out_ref[pl.ds(offl, rows_cnt), :] = cur - upd
+
+        # store the factored column (diag block: strict-L + d on diagonal)
+        diag_part = jnp.where(tri, Lkk, 0.0) + dk * eye_b.astype(LD.dtype)
+        out_ref[pl.ds(off, b), :] = diag_part
+        out_ref[pl.ds(off + b, bw * b), :] = Lcol
+        invl_ref[pl.ds(j * jnp.int32(b), b), :] = invLkk
+        d_ref[pl.ds(j * jnp.int32(b), b), :] = dk
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), outer, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "b", "bw", "interpret"))
+def _factorize_call(band2d, nb, b, bw, interpret=False):
+    nbp = nb + bw
+    out, invl, d = pl.pallas_call(
+        functools.partial(_factorize_kernel, nb=nb, b=b, bw=bw),
+        out_shape=(
+            jax.ShapeDtypeStruct(band2d.shape, band2d.dtype),
+            jax.ShapeDtypeStruct((nbp * b, b), band2d.dtype),
+            jax.ShapeDtypeStruct((nbp * b, 1), band2d.dtype),
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(band2d)
+    return out, invl, d
+
+
+def pallas_banded_factorize(
+    struct: BandStructure, band: jax.Array, interpret: bool = False
+) -> BandedFactor:
+    """Drop-in replacement for ``banded.banded_factorize`` (same
+    :class:`BandedFactor` result) running as one fused VMEM kernel."""
+    nb, b, bw, nbp = struct.nb, struct.b, struct.bw, struct.nbp
+    band2d = band.reshape(nbp * (bw + 1) * b, b)
+    out, invl, d = _factorize_call(band2d, nb, b, bw, interpret=interpret)
+    return BandedFactor(
+        band=out.reshape(nbp, bw + 1, b, b),
+        invL=invl.reshape(nbp, b, b),
+        d=d[: nb * b, 0],
+    )
+
+
+def _solve_kernel(band_ref, invl_ref, d_ref, rhs_ref, out_ref, *, nb, b, bw, k):
+    stride = (bw + 1) * b
+    out_ref[:, :] = rhs_ref[:, :]
+
+    def fwd(j, _):
+        off = j * jnp.int32(stride)
+        rj = out_ref[pl.ds(j * jnp.int32(b), b), :]
+        invL = invl_ref[pl.ds(j * jnp.int32(b), b), :]
+        zj = jnp.dot(invL, rj, preferred_element_type=rj.dtype)
+        Pj = band_ref[pl.ds(off + b, bw * b), :]
+        upd = jnp.dot(Pj, zj, preferred_element_type=rj.dtype)
+        cur = out_ref[pl.ds((j + 1) * jnp.int32(b), bw * b), :]
+        out_ref[pl.ds((j + 1) * jnp.int32(b), bw * b), :] = cur - upd
+        out_ref[pl.ds(j * jnp.int32(b), b), :] = zj
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), fwd, jnp.int32(0))
+
+    # diagonal scaling z / d over the real rows
+    dvals = d_ref[pl.ds(0, nb * b), :]                        # (nb·b, 1)
+    d_div = jnp.where(jnp.abs(dvals) <= ZERO_PIVOT_TOL, jnp.inf, dvals)
+    zs = out_ref[pl.ds(0, nb * b), :]
+    out_ref[pl.ds(0, nb * b), :] = zs / d_div
+
+    def bwd(t, _):
+        j = jnp.int32(nb - 1) - t
+        off = j * jnp.int32(stride)
+        Pj = band_ref[pl.ds(off + b, bw * b), :]
+        xs = out_ref[pl.ds((j + 1) * jnp.int32(b), bw * b), :]
+        wj = out_ref[pl.ds(j * jnp.int32(b), b), :]
+        invL = invl_ref[pl.ds(j * jnp.int32(b), b), :]
+        tj = wj - jnp.dot(Pj.T, xs, preferred_element_type=wj.dtype)
+        out_ref[pl.ds(j * jnp.int32(b), b), :] = jnp.dot(
+            invL.T, tj, preferred_element_type=wj.dtype
+        )
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), bwd, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "b", "bw", "k", "interpret"))
+def _solve_call(band2d, invl2d, d2d, rhs, nb, b, bw, k, interpret=False):
+    return pl.pallas_call(
+        functools.partial(_solve_kernel, nb=nb, b=b, bw=bw, k=k),
+        out_shape=jax.ShapeDtypeStruct(rhs.shape, rhs.dtype),
+        interpret=interpret,
+    )(band2d, invl2d, d2d, rhs)
+
+
+def pallas_banded_solve(
+    struct: BandStructure, f: BandedFactor, rhs: jax.Array,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ``banded.banded_solve`` (permuted rhs)."""
+    nb, b, bw, nbp, N = struct.nb, struct.b, struct.bw, struct.nbp, struct.N
+    squeeze = rhs.ndim == 1
+    r = rhs[:, None] if squeeze else rhs
+    k = r.shape[1]
+    # pad rows to nbp*b and the RHS width to the lane tile
+    kp = max(8, -(-k // 8) * 8) if k < 128 else -(-k // 128) * 128
+    work = jnp.zeros((nbp * b, kp), r.dtype).at[:N, :k].set(r)
+    band2d = f.band.reshape(nbp * (bw + 1) * b, b)
+    invl2d = f.invL.reshape(nbp * b, b)
+    d2d = jnp.zeros((nbp * b, 1), f.d.dtype).at[: nb * b, 0].set(f.d)
+    out = _solve_call(band2d, invl2d, d2d, work, nb, b, bw, kp,
+                      interpret=interpret)
+    x = out[:N, :k]
+    return x[:, 0] if squeeze else x

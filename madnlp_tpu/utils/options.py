@@ -244,6 +244,9 @@ class MadNLPOptions:
     filter_capacity: int = 128     # filter kept as a fixed-capacity array (jit)
     ldl_block_size: int = 64       # block size of the blocked LDLᵀ kernel
     banded_block_size: int = 64    # block size of the block-banded LDLᵀ
+    banded_backend: str = "auto"   # "auto" | "xla" | "pallas" — "auto" uses
+    # the fused Pallas VMEM kernels (ops/pallas_banded.py) on TPU when the
+    # band fits VMEM, the XLA fori_loop otherwise
 
     # -- derived helpers --------------------------------------------------
     def resolve(self, *, dense_callback: bool, m: int) -> "MadNLPOptions":

@@ -123,3 +123,23 @@ def test_banded_opf_matches_dense():
     assert s.status == Status.SOLVE_SUCCEEDED
     assert s.iter == ref.iter
     np.testing.assert_allclose(s.solution, ref.solution, atol=1e-8)
+
+
+def test_pallas_banded_kernels_match_xla():
+    """Fused Pallas VMEM kernels (ops/pallas_banded.py, interpreter mode on
+    CPU) reproduce the XLA banded factorization/solve bit-for-bit at the
+    solver level."""
+    ref = madnlp(
+        sparse_qp.build(n=100, m=25),
+        kkt_system=KKTSystem.SPARSE,
+        linear_solver=LinearSolver.BANDED,
+    )
+    s = madnlp(
+        sparse_qp.build(n=100, m=25),
+        kkt_system=KKTSystem.SPARSE,
+        linear_solver=LinearSolver.BANDED,
+        banded_backend="pallas_interpret",
+    )
+    assert s.status == Status.SOLVE_SUCCEEDED
+    assert s.iter == ref.iter
+    np.testing.assert_allclose(s.solution, ref.solution, atol=1e-9)
