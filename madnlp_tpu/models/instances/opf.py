@@ -31,9 +31,16 @@ def _network(nb: int, rng):
     """Ring + chords topology; returns the complex Ybus and the edge list
     (ei, ej, g_e, b_e) plus diagonal shunt susceptance."""
     edges = [(i, (i + 1) % nb) for i in range(nb)]
+    # chords are *local* in ring distance, like real transmission networks
+    # (near-planar, ~1.3 branches/bus): random long-range chords would make
+    # the graph an expander, which no fill-reducing ordering can help —
+    # unrepresentative of pglib cases
     n_chords = nb // 3
+    max_span = max(3, min(30, nb // 20))
     for _ in range(n_chords):
-        i, j = rng.integers(0, nb, 2)
+        i = int(rng.integers(0, nb))
+        span = int(rng.integers(2, max_span + 1))
+        j = (i + span) % nb
         if i != j:
             edges.append((min(i, j), max(i, j)))
     ei = np.array([e[0] for e in edges])
