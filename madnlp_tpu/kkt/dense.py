@@ -45,6 +45,8 @@ class EquilibratedFactor(NamedTuple):
     inner: ds.DenseFactor
     d: jax.Array
     smw: tuple = None
+    opband: object = None   # unscaled f64 operator band (banded path): the
+    # iterative-refinement operator as block-banded mat-vecs (no scatters)
 
 
 class KKTContext(NamedTuple):

@@ -33,6 +33,8 @@ from ..ops.banded import (
     banded_factorize,
     banded_inertia,
     banded_solve,
+    banded_symmetrize,
+    banded_symv,
     ruiz_coo,
 )
 from ..ipm.quasi_newton import LowRankHessian
@@ -41,14 +43,30 @@ from .dense import DenseKKT, EquilibratedFactor, KKTContext
 from .vec import KKTVec
 
 
+def _sorted_scatter_map(idx: np.ndarray):
+    """(gather_order, sorted_targets) for a static scatter map — TPU
+    scatter-adds with sorted target indices lower to a fast path, so every
+    hot scatter gathers its values through a host-precomputed sort first
+    and passes ``indices_are_sorted=True``."""
+    idx = np.asarray(idx)
+    order = np.argsort(idx, kind="stable")
+    return jnp.asarray(order), jnp.asarray(idx[order])
+
+
 class SparseKKT(DenseKKT):
     """Reduced augmented KKT with scatter assembly from sparse callbacks."""
+
+    # the assembled band equals the augmented system [W+Σ Jᵀ; J D] — enables
+    # the scatter-free banded refinement operator (banded_symv)
+    _band_is_augmented = True
 
     def __init__(self, prob, opts):
         super().__init__(prob, opts)
         p = prob
         self.jr = jnp.asarray(p.jac_rows_aug)
         self.jc = jnp.asarray(p.jac_cols_aug)
+        self.jt_order, self.jc_sorted = _sorted_scatter_map(p.jac_cols_aug)
+        self.jp_order, self.jr_sorted = _sorted_scatter_map(p.jac_rows_aug)
         # compact L-BFGS: the Hessian block is σI (+ SMW low-rank at solve
         # time) — the assembled pattern is just the diagonal
         self.lowrank = (
@@ -58,6 +76,8 @@ class SparseKKT(DenseKKT):
         self.hr = jnp.asarray(hr)
         self.hc = jnp.asarray(hc)
         self.h_offdiag = jnp.asarray(hr != hc)
+        self.hr_order, self.hr_sorted = _sorted_scatter_map(hr)
+        self.hc_order, self.hc_sorted = _sorted_scatter_map(hc)
         self.banded = opts.linear_solver == LinearSolver.BANDED
         if self.banded:
             self._init_band_structure()
@@ -99,10 +119,14 @@ class SparseKKT(DenseKKT):
             rows, cols, N, block=self.opts.banded_block_size,
             perm=self._band_ordering(),
         )
-        self.band_idx = jnp.asarray(self.bstruct.map(rows, cols))
+        band_idx = self.bstruct.map(rows, cols)
+        self.band_order, self.band_idx_sorted = _sorted_scatter_map(band_idx)
         self.coo_rows = jnp.asarray(rows)
         self.coo_cols = jnp.asarray(cols)
+        self._ruiz_row_map = _sorted_scatter_map(rows)
+        self._ruiz_col_map = _sorted_scatter_map(cols)
         self._bperm = jnp.asarray(self.bstruct.perm)
+        self._biperm = jnp.asarray(self.bstruct.iperm)
         # backend: fused Pallas VMEM kernels on TPU when the band fits
         backend = self.opts.banded_backend
         if backend == "auto":
@@ -137,13 +161,30 @@ class SparseKKT(DenseKKT):
         if mode == "k25" and d_analytic is not None:
             d = d_analytic
         elif mode == "ruiz":
-            d = ruiz_coo(vals, self.coo_rows, self.coo_cols, N)
+            d = ruiz_coo(
+                vals, self.coo_rows, self.coo_cols, N,
+                row_map=self._ruiz_row_map, col_map=self._ruiz_col_map,
+            )
         else:
             d = jnp.ones((N,), vals.dtype)
         scaled = vals * d[self.coo_rows] * d[self.coo_cols]
-        band = self.bstruct.assemble(self.band_idx, scaled, self.fact_dtype)
+        band = self.bstruct.assemble(
+            self.band_idx_sorted, scaled[self.band_order], self.fact_dtype,
+            sorted_indices=True,
+        )
         inner = self._band_factorize(self.bstruct, band)
-        return EquilibratedFactor(inner=inner, d=d)
+        # unscaled f64 operator band for iterative refinement (banded_symv);
+        # only meaningful when the band IS the augmented system
+        opband = None
+        if self._band_is_augmented:
+            opband = banded_symmetrize(
+                self.bstruct,
+                self.bstruct.assemble(
+                    self.band_idx_sorted, vals[self.band_order], vals.dtype,
+                    sorted_indices=True,
+                ),
+            )
+        return EquilibratedFactor(inner=inner, d=d, opband=opband)
 
     def _backsolve(self, factor, rhs):
         if not self.banded:
@@ -151,7 +192,7 @@ class SparseKKT(DenseKKT):
         d = factor.d if rhs.ndim == 1 else factor.d[:, None]
         scaled = (d * rhs).astype(self.fact_dtype)
         xp = self._band_solve(self.bstruct, factor.inner, scaled[self._bperm])
-        out = jnp.zeros_like(scaled).at[self._bperm].set(xp).astype(rhs.dtype)
+        out = xp[self._biperm].astype(rhs.dtype)
         return self._apply_smw(factor, d * out)
 
     def inertia(self, ctx):
@@ -169,10 +210,17 @@ class SparseKKT(DenseKKT):
             ctx = super().zero_context()
             return ctx._replace(factor=ctx.factor._replace(smw=zero_smw))
         p = self.prob
+        bs = self.bstruct
+        opband = (
+            jnp.zeros((bs.nbp, bs.bw + 1, bs.b, bs.b))
+            if self._band_is_augmented
+            else None
+        )
         factor = EquilibratedFactor(
-            inner=self.bstruct.zero_factor(self.fact_dtype),
-            d=jnp.ones((self.bstruct.N,)),
+            inner=bs.zero_factor(self.fact_dtype),
+            d=jnp.ones((bs.N,)),
             smw=zero_smw,
+            opband=opband,
         )
         return KKTContext(
             hess=p.hess_template(),
@@ -194,14 +242,16 @@ class SparseKKT(DenseKKT):
         out = jnp.zeros((p.nw,), jac_vals.dtype)
         if p.m == 0:
             return out
-        return out.at[self.jc].add(jac_vals * y[self.jr])
+        contrib = (jac_vals * y[self.jr])[self.jt_order]
+        return out.at[self.jc_sorted].add(contrib, indices_are_sorted=True)
 
     def jprod(self, jac_vals, v):
         p = self.prob
         out = jnp.zeros((p.m,), jac_vals.dtype)
         if p.m == 0:
             return out
-        return out.at[self.jr].add(jac_vals * v[self.jc])
+        contrib = (jac_vals * v[self.jc])[self.jp_order]
+        return out.at[self.jr_sorted].add(contrib, indices_are_sorted=True)
 
     def hess_mul(self, hess_vals, v):
         """(n,) symmetric product from the lower-triangular values (or the
@@ -215,9 +265,13 @@ class SparseKKT(DenseKKT):
                 + lr.V @ (lr.V.T @ v)
             )
         out = jnp.zeros((p.n,), hess_vals.dtype)
-        out = out.at[self.hr].add(hess_vals * v[self.hc])
+        out = out.at[self.hr_sorted].add(
+            (hess_vals * v[self.hc])[self.hr_order], indices_are_sorted=True
+        )
         off = jnp.where(self.h_offdiag, hess_vals, 0.0)
-        return out.at[self.hc].add(off * v[self.hr])
+        return out.at[self.hc_sorted].add(
+            (off * v[self.hr])[self.hc_order], indices_are_sorted=True
+        )
 
     # -- assembly ----------------------------------------------------------
 
@@ -256,6 +310,30 @@ class SparseKKT(DenseKKT):
     def mul(self, ctx: KKTContext, v: KKTVec) -> KKTVec:
         p = self.prob
         lb, ub = jnp.asarray(p.lb_mask), jnp.asarray(p.ub_mask)
+        if self.banded and self._band_is_augmented:
+            # scatter-free refinement operator: the augmented product comes
+            # from the stored f64 operator band (batched MXU mat-vecs), the
+            # Σ/bound-dual terms are corrected elementwise
+            vfull = jnp.concatenate([v.xp, v.y])
+            kv_p = banded_symv(
+                self.bstruct, ctx.factor.opband, vfull[self._bperm]
+            )
+            kv = kv_p[self._biperm]
+            sigma = (
+                jnp.where(lb, ctx.zl / ctx.dl, 0.0)
+                + jnp.where(ub, ctx.zu / ctx.du_, 0.0)
+            )
+            wx = kv[: p.nw] - sigma * v.xp
+            if isinstance(ctx.hess, LowRankHessian):
+                lr = ctx.hess
+                vx = v.xp[: p.n]
+                corr = -lr.U @ (lr.U.T @ vx) + lr.V @ (lr.V.T @ vx)
+                wx = wx.at[: p.n].add(corr)
+            wx = wx - jnp.where(lb, v.zl, 0.0) + jnp.where(ub, v.zu, 0.0)
+            wy = kv[p.nw :] if p.m > 0 else v.y
+            wzl = jnp.where(lb, ctx.zl * v.xp + ctx.dl * v.zl, 0.0)
+            wzu = jnp.where(ub, ctx.zu * v.xp - ctx.du_ * v.zu, 0.0)
+            return KKTVec(xp=wx, y=wy, zl=wzl, zu=wzu)
         hv = self.hess_mul(ctx.hess, v.xp[: p.n])
         wx = jnp.concatenate([hv, jnp.zeros((p.nw - p.n,), hv.dtype)])
         wx = wx + ctx.reg * v.xp
@@ -281,6 +359,8 @@ class SparseCondensedKKT(SparseKKT):
 
     Requires every constraint to carry a slack (all-inequality — the
     RelaxEquality preset, condensed.jl:68-70)."""
+
+    _band_is_augmented = False  # band holds the n×n condensed matrix
 
     def __init__(self, prob, opts):
         super().__init__(prob, opts)

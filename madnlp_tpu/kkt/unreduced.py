@@ -103,6 +103,8 @@ class SparseUnreducedKKT(SparseKKT):
     (same quasidefinite-preserving order as the augmented system; its
     diagonal ``xl−x < 0`` is fully formed on arrival)."""
 
+    _band_is_augmented = False  # band holds the √z-symmetrized 4-block system
+
     def __init__(self, prob, opts):
         super().__init__(prob, opts)
         assert not self.lowrank, (

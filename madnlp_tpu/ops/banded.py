@@ -162,11 +162,14 @@ class BandStructure:
 
     # -- assembly ----------------------------------------------------------
 
-    def assemble(self, flat_idx: jax.Array, vals: jax.Array, dtype) -> jax.Array:
+    def assemble(
+        self, flat_idx: jax.Array, vals: jax.Array, dtype,
+        sorted_indices: bool = False,
+    ) -> jax.Array:
         """Scatter COO values (plus identity padding) into band storage."""
         b, bw, nbp = self.b, self.bw, self.nbp
         flat = jnp.zeros((self.flat_size,), vals.dtype)
-        flat = flat.at[flat_idx].add(vals)
+        flat = flat.at[flat_idx].add(vals, indices_are_sorted=sorted_indices)
         if len(self.pad_idx):
             flat = flat.at[jnp.asarray(self.pad_idx)].add(1.0)
         return flat.reshape(nbp, bw + 1, b, b).astype(dtype)
@@ -266,12 +269,48 @@ def banded_inertia(struct: BandStructure, f: BandedFactor) -> Tuple:
     return pos, zero, neg
 
 
-def ruiz_coo(vals, rows_j, cols_j, N: int, sweeps: int = 3):
+def banded_symmetrize(struct: BandStructure, band: jax.Array) -> jax.Array:
+    """Complete the (lower-stored) diagonal blocks to full symmetric — the
+    operator form consumed by :func:`banded_symv`."""
+    b0 = band[:, 0]
+    eye = jnp.eye(struct.b, dtype=band.dtype)
+    full = b0 + jnp.swapaxes(b0, 1, 2) * (1.0 - eye)
+    return band.at[:, 0].set(full)
+
+
+def banded_symv(struct: BandStructure, band_sym: jax.Array, x: jax.Array):
+    """Symmetric block-banded mat-vec ``y = K·x`` in PERMUTED coordinates —
+    batched (nbp, b, b)×(nbp, b) einsums over the ``bw+1`` block diagonals
+    with *static* shift-slices: no gathers/scatters anywhere (this is the
+    iterative-refinement operator's fast path on TPU, where scatter-adds
+    serialize).  ``x``: (N,)."""
+    b, bw, nbp, N = struct.b, struct.bw, struct.nbp, struct.N
+    xb = jnp.zeros((nbp * b,), x.dtype).at[:N].set(x).reshape(nbp, b)
+    y = jnp.einsum("jab,jb->ja", band_sym[:, 0], xb)
+    for k in range(1, bw + 1):
+        lower = jnp.einsum("jab,jb->ja", band_sym[: nbp - k, k], xb[: nbp - k])
+        y = y.at[k:].add(lower)                       # block (j+k, j) · x_j
+        upper = jnp.einsum("jba,jb->ja", band_sym[: nbp - k, k], xb[k:])
+        y = y.at[: nbp - k].add(upper)                # block (j, j+k)ᵀ · x_{j+k}
+    return y.reshape(-1)[:N]
+
+
+def ruiz_coo(vals, rows_j, cols_j, N: int, sweeps: int = 3,
+             row_map=None, col_map=None):
     """Ruiz equilibration vector from lower-COO values (symmetric pattern
-    implied): d such that D K D has ~unit row inf-norms."""
+    implied): d such that D K D has ~unit row inf-norms.  ``row_map`` /
+    ``col_map`` are optional (gather_order, sorted_targets) pairs enabling
+    the sorted-scatter fast path on TPU."""
     d = jnp.ones((N,), vals.dtype)
     for _ in range(sweeps):
         v = jnp.abs(vals) * d[rows_j] * d[cols_j]
-        rn = jnp.zeros((N,), vals.dtype).at[rows_j].max(v).at[cols_j].max(v)
+        rn = jnp.zeros((N,), vals.dtype)
+        if row_map is not None:
+            ro, rs = row_map
+            co, cs = col_map
+            rn = rn.at[rs].max(v[ro], indices_are_sorted=True)
+            rn = rn.at[cs].max(v[co], indices_are_sorted=True)
+        else:
+            rn = rn.at[rows_j].max(v).at[cols_j].max(v)
         d = d / jnp.sqrt(jnp.maximum(rn, 1e-32))
     return d
