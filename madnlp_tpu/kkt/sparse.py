@@ -35,7 +35,8 @@ from ..ops.banded import (
     banded_solve,
     banded_symmetrize,
     banded_symv,
-    ruiz_coo,
+    ruiz_band,
+    scale_band,
 )
 from ..ipm.quasi_newton import LowRankHessian
 from ..utils.options import HessianApproximation, LinearSolver
@@ -121,69 +122,57 @@ class SparseKKT(DenseKKT):
         )
         band_idx = self.bstruct.map(rows, cols)
         self.band_order, self.band_idx_sorted = _sorted_scatter_map(band_idx)
-        self.coo_rows = jnp.asarray(rows)
-        self.coo_cols = jnp.asarray(cols)
-        self._ruiz_row_map = _sorted_scatter_map(rows)
-        self._ruiz_col_map = _sorted_scatter_map(cols)
         self._bperm = jnp.asarray(self.bstruct.perm)
         self._biperm = jnp.asarray(self.bstruct.iperm)
-        # backend: fused Pallas VMEM kernels on TPU when the band fits
+        # backend: fused streaming Pallas kernels on TPU (band in HBM,
+        # rolling bw+1-column window in VMEM — size-independent)
         backend = self.opts.banded_backend
         if backend == "auto":
             import jax as _jax
 
-            from ..ops.pallas_banded import fits_vmem
-
-            backend = (
-                "pallas"
-                if _jax.default_backend() == "tpu" and fits_vmem(self.bstruct)
-                else "xla"
-            )
+            backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
         if backend in ("pallas", "pallas_interpret"):
             import functools
 
-            from ..ops import pallas_banded as pb
+            from ..ops import pallas_banded_stream as pb
 
             interp = backend == "pallas_interpret"
             self._band_factorize = functools.partial(
-                pb.pallas_banded_factorize, interpret=interp
+                pb.pallas_banded_factorize_stream, interpret=interp
             )
             self._band_solve = functools.partial(
-                pb.pallas_banded_solve, interpret=interp
+                pb.pallas_banded_solve_stream, interpret=interp
             )
         else:
             self._band_factorize = banded_factorize
             self._band_solve = banded_solve
 
     def _banded_factorize_coo(self, vals, d_analytic=None):
-        N = self.bstruct.N
+        """ONE sorted scatter-assembly of the raw f64 band; everything else
+        (Ruiz, congruence scaling, refinement operator) reuses it with
+        static-slice ops — no further scatters in the hot path."""
+        bs = self.bstruct
+        N = bs.N
         mode = self.opts.kkt_scaling
-        if mode == "k25" and d_analytic is not None:
-            d = d_analytic
-        elif mode == "ruiz":
-            d = ruiz_coo(
-                vals, self.coo_rows, self.coo_cols, N,
-                row_map=self._ruiz_row_map, col_map=self._ruiz_col_map,
-            )
-        else:
-            d = jnp.ones((N,), vals.dtype)
-        scaled = vals * d[self.coo_rows] * d[self.coo_cols]
-        band = self.bstruct.assemble(
-            self.band_idx_sorted, scaled[self.band_order], self.fact_dtype,
+        raw = bs.assemble(
+            self.band_idx_sorted, vals[self.band_order], vals.dtype,
             sorted_indices=True,
         )
-        inner = self._band_factorize(self.bstruct, band)
-        # unscaled f64 operator band for iterative refinement (banded_symv);
-        # only meaningful when the band IS the augmented system
-        opband = None
-        if self._band_is_augmented:
-            opband = banded_symmetrize(
-                self.bstruct,
-                self.bstruct.assemble(
-                    self.band_idx_sorted, vals[self.band_order], vals.dtype,
-                    sorted_indices=True,
-                ),
-            )
+        raw_sym = banded_symmetrize(bs, raw)
+        if mode == "k25" and d_analytic is not None:
+            d = d_analytic
+            d_perm = jnp.concatenate(
+                [d[self._bperm], jnp.ones((bs.nbp * bs.b - N,), d.dtype)]
+            ).reshape(bs.nbp, bs.b)
+        elif mode == "ruiz":
+            d_perm = ruiz_band(bs, raw_sym)
+            d = d_perm.reshape(-1)[self._biperm]
+        else:
+            d = jnp.ones((N,), vals.dtype)
+            d_perm = jnp.ones((bs.nbp, bs.b), vals.dtype)
+        band = scale_band(bs, raw, d_perm).astype(self.fact_dtype)
+        inner = self._band_factorize(bs, band)
+        opband = raw_sym if self._band_is_augmented else None
         return EquilibratedFactor(inner=inner, d=d, opband=opband)
 
     def _backsolve(self, factor, rhs):

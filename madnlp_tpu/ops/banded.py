@@ -295,6 +295,39 @@ def banded_symv(struct: BandStructure, band_sym: jax.Array, x: jax.Array):
     return y.reshape(-1)[:N]
 
 
+def ruiz_band(struct: BandStructure, band_sym: jax.Array, sweeps: int = 3):
+    """Ruiz equilibration computed directly on the (symmetrized) band —
+    static-slice max-reductions only, no scatters.  Returns the scaling in
+    PERMUTED block layout, shape (nbp, b)."""
+    b, bw, nbp = struct.b, struct.bw, struct.nbp
+    d = jnp.ones((nbp, b), band_sym.dtype)
+    for _ in range(sweeps):
+        a0 = jnp.abs(band_sym[:, 0]) * d[:, :, None] * d[:, None, :]
+        rn = jnp.max(a0, axis=2)
+        for k in range(1, bw + 1):
+            ak = (
+                jnp.abs(band_sym[: nbp - k, k])
+                * d[k:, :, None]
+                * d[: nbp - k, None, :]
+            )
+            rn = rn.at[k:].max(jnp.max(ak, axis=2))
+            rn = rn.at[: nbp - k].max(jnp.max(ak, axis=1))
+        d = d / jnp.sqrt(jnp.maximum(rn, 1e-32))
+    return d
+
+
+def scale_band(struct: BandStructure, band: jax.Array, d: jax.Array):
+    """Congruence scaling D·K·D applied to (lower-stored) band storage;
+    ``d``: (nbp, b) permuted scaling from :func:`ruiz_band`."""
+    b, bw, nbp = struct.b, struct.bw, struct.nbp
+    dpad = jnp.concatenate([d, jnp.ones((bw, b), d.dtype)], axis=0)
+    cols = [
+        band[:, k] * dpad[k : k + nbp, :, None] * d[:, None, :]
+        for k in range(bw + 1)
+    ]
+    return jnp.stack(cols, axis=1)
+
+
 def ruiz_coo(vals, rows_j, cols_j, N: int, sweeps: int = 3,
              row_map=None, col_map=None):
     """Ruiz equilibration vector from lower-COO values (symmetric pattern

@@ -30,47 +30,54 @@ from jax.experimental import pallas as pl
 from .banded import BandedFactor, BandStructure
 from .ldlt import ZERO_PIVOT_TOL
 
-MAX_VMEM_BYTES = 12 * 1024 * 1024  # leave headroom under the ~16MB budget
+MAX_VMEM_BYTES = 14 * 1024 * 1024  # scoped-vmem budget (~16MB/core)
 
 
 def fits_vmem(struct: BandStructure, dtype_bytes: int = 4) -> bool:
+    # in + aliased out + pipeline double-buffering: empirically ~4× the
+    # band bytes of scoped VMEM (case1354 band 9.5MB → 40MB requested)
     band = struct.nbp * (struct.bw + 1) * struct.b * struct.b
     invl = struct.nbp * struct.b * struct.b
-    return (band + invl + 2 * struct.nb * struct.b) * dtype_bytes < MAX_VMEM_BYTES
+    return 4 * (band + invl) * dtype_bytes < MAX_VMEM_BYTES
 
 
-def _unblocked_ldlt(A, block):
-    """(b, b) LDLᵀ: strict-lower L plus D on the diagonal (shared shape
-    discipline with ops/pallas_ldlt.py)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+def _ldlt_with_inverse(A, block):
+    """(b, b) LDLᵀ *and* L⁻¹ in one b-step Gauss–Jordan elimination over
+    ``[A | I]``: each step eliminates below pivot j in both blocks, so the
+    right block accumulates ``Π_j (I − l_j e_jᵀ) = L⁻¹`` while the pivot
+    column of the left block is rewritten with (l_j, d_j) storage — half
+    the sequential chain of running LDLᵀ and forward-substitution
+    separately (this chain, nb·b steps total, bounds the kernel).
+
+    Returns (LD, invL): LD = strict-lower L + D on the diagonal."""
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (block, 2 * block), 1)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    eye = (rows_b == cols_b).astype(A.dtype)
+    M0 = jnp.concatenate([A, eye], axis=1)
 
-    def body(j, A):
-        colj = jnp.sum(jnp.where(cols == j, A, 0.0), axis=1, keepdims=True)
+    def body(j, M):
+        colj = jnp.sum(jnp.where(cols2 == j, M, 0.0), axis=1, keepdims=True)
         dj = jnp.sum(jnp.where(ridx == j, colj, 0.0), axis=0, keepdims=True)
         dj_div = jnp.where(jnp.abs(dj) <= ZERO_PIVOT_TOL, jnp.inf, dj)
-        lj = jnp.where(ridx > j, colj / dj_div, 0.0)
-        A = A - dj * (lj * jnp.transpose(lj))
+        lj = jnp.where(ridx > j, colj / dj_div, 0.0)       # (b, 1)
+        rowj = jnp.sum(jnp.where(ridx == j, M, 0.0), axis=0, keepdims=True)
+        # the A block is LOWER-stored: row j's trailing entries live in
+        # column j (symmetry) — splice coljᵀ into the left half
+        left = jnp.concatenate(
+            [jnp.transpose(colj), jnp.zeros((1, block), M.dtype)], axis=1
+        )
+        rowj = jnp.where(cols2 < block, left, rowj)
+        # only columns ≥ j may be touched: columns < j already store L
+        rowj = jnp.where(cols2 >= j, rowj, 0.0)
+        M = M - lj * rowj
         newcol = jnp.where(ridx > j, lj, colj)
         newcol = jnp.where(ridx == j, dj, newcol)
-        return jnp.where(cols == j, newcol, A)
+        return jnp.where(cols2 == j, newcol, M)
 
-    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), body, A)
-
-
-def _unit_lower_inverse(L, block):
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-
-    def body(j, X):
-        colj = jnp.sum(jnp.where(cols == j, L, 0.0), axis=1, keepdims=True)
-        colj = jnp.where(ridx > j, colj, 0.0)
-        rowj = jnp.sum(jnp.where(rows == j, X, 0.0), axis=0, keepdims=True)
-        return X - colj * rowj
-
-    X0 = (rows == cols).astype(L.dtype)
-    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), body, X0)
+    M = jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), body, M0)
+    return M[:, :block], M[:, block:]
 
 
 def _factorize_kernel(band_ref, out_ref, invl_ref, d_ref, *, nb, b, bw):
@@ -91,10 +98,9 @@ def _factorize_kernel(band_ref, out_ref, invl_ref, d_ref, *, nb, b, bw):
     def outer(j, _):
         off = j * jnp.int32(stride)
         Akk = out_ref[pl.ds(off, b), :]
-        LD = _unblocked_ldlt(Akk, b)
+        LD, invLkk = _ldlt_with_inverse(Akk, b)
         Lkk = jnp.where(tri, LD, 0.0) + eye_b.astype(LD.dtype)
         dk = jnp.sum(jnp.where(eye_b, LD, 0.0), axis=1, keepdims=True)  # (b,1)
-        invLkk = _unit_lower_inverse(Lkk, b)
         dk_div = jnp.where(jnp.abs(dk) <= ZERO_PIVOT_TOL, jnp.inf, dk)
 
         P = out_ref[pl.ds(off + b, bw * b), :]                # (bw·b, b)
