@@ -36,6 +36,7 @@ from ..ops.banded import (
     banded_symmetrize,
     banded_symv,
     ruiz_band,
+    ruiz_coo,
     scale_band,
 )
 from ..ipm.quasi_newton import LowRankHessian
@@ -80,8 +81,11 @@ class SparseKKT(DenseKKT):
         self.hr_order, self.hr_sorted = _sorted_scatter_map(hr)
         self.hc_order, self.hc_sorted = _sorted_scatter_map(hc)
         self.banded = opts.linear_solver == LinearSolver.BANDED
+        self.arrow = opts.linear_solver == LinearSolver.BLOCK_ARROW
         if self.banded:
             self._init_band_structure()
+        elif self.arrow:
+            self._init_arrow_structure()
 
     def _hess_pattern(self):
         p = self.prob
@@ -147,6 +151,60 @@ class SparseKKT(DenseKKT):
             self._band_factorize = banded_factorize
             self._band_solve = banded_solve
 
+    # -- block-arrowhead backend (batched nested-dissection factorization) --
+
+    def _init_arrow_structure(self):
+        from ..ops.blockarrow import ArrowStructure
+
+        rows, cols, N = self._band_pattern()
+        self.astruct = ArrowStructure(
+            rows, cols, N,
+            perm=self._band_ordering(),
+            nparts=self.opts.arrow_nparts,
+            ldl_block=self.opts.ldl_block_size,
+        )
+        fidx = self.astruct.map(rows, cols)
+        self.arrow_order, self.arrow_idx_sorted = _sorted_scatter_map(fidx)
+        self._ar_rows = jnp.asarray(rows)
+        self._ar_cols = jnp.asarray(cols)
+        self._ar_rowmap = _sorted_scatter_map(rows)
+        self._ar_colmap = _sorted_scatter_map(cols)
+
+    def _arrow_factorize_coo(self, vals, d_analytic=None):
+        """Ruiz/K2.5 congruence scaling on the COO values, one fused sorted
+        scatter into (blocks, couplings, separator) storage, then the batched
+        arrowhead factorization (ops/blockarrow.py)."""
+        from ..ops.blockarrow import arrow_factorize
+
+        ast = self.astruct
+        mode = self.opts.kkt_scaling
+        if mode == "k25" and d_analytic is not None:
+            d = d_analytic
+        elif mode == "ruiz":
+            d = ruiz_coo(
+                vals, self._ar_rows, self._ar_cols, ast.N,
+                row_map=self._ar_rowmap, col_map=self._ar_colmap,
+            )
+        else:
+            d = jnp.ones((ast.N,), vals.dtype)
+        sv = vals * d[self._ar_rows] * d[self._ar_cols]
+        Ablk, C, Asep = ast.assemble(
+            self.arrow_idx_sorted, sv[self.arrow_order], sorted_indices=True
+        )
+        inner = arrow_factorize(
+            ast,
+            Ablk.astype(self.fact_dtype),
+            C.astype(self.fact_dtype),
+            Asep.astype(self.fact_dtype),
+        )
+        return EquilibratedFactor(inner=inner, d=d)
+
+    def _sparse_factorize_coo(self, vals, d_analytic=None):
+        """Dispatch to the configured sparse direct factorization."""
+        if self.arrow:
+            return self._arrow_factorize_coo(vals, d_analytic)
+        return self._banded_factorize_coo(vals, d_analytic)
+
     def _banded_factorize_coo(self, vals, d_analytic=None):
         """ONE sorted scatter-assembly of the raw f64 band; everything else
         (Ruiz, congruence scaling, refinement operator) reuses it with
@@ -176,6 +234,13 @@ class SparseKKT(DenseKKT):
         return EquilibratedFactor(inner=inner, d=d, opband=opband)
 
     def _backsolve(self, factor, rhs):
+        if self.arrow:
+            from ..ops.blockarrow import arrow_solve
+
+            d = factor.d if rhs.ndim == 1 else factor.d[:, None]
+            scaled = (d * rhs).astype(self.fact_dtype)
+            out = arrow_solve(self.astruct, factor.inner, scaled)
+            return self._apply_smw(factor, d * out.astype(rhs.dtype))
         if not self.banded:
             return super()._backsolve(factor, rhs)
         d = factor.d if rhs.ndim == 1 else factor.d[:, None]
@@ -185,6 +250,10 @@ class SparseKKT(DenseKKT):
         return self._apply_smw(factor, d * out)
 
     def inertia(self, ctx):
+        if self.arrow:
+            from ..ops.blockarrow import arrow_inertia
+
+            return arrow_inertia(self.astruct, ctx.factor.inner)
         if not self.banded:
             return super().inertia(ctx)
         return banded_inertia(self.bstruct, ctx.factor.inner)
@@ -195,6 +264,25 @@ class SparseKKT(DenseKKT):
             if self.lowrank
             else None
         )
+        if self.arrow:
+            p = self.prob
+            factor = EquilibratedFactor(
+                inner=self.astruct.zero_factor(self.fact_dtype),
+                d=jnp.ones((self.astruct.N,)),
+                smw=zero_smw,
+            )
+            return KKTContext(
+                hess=p.hess_template(),
+                jac=p.jac_template(),
+                pr_diag=jnp.ones((p.nw,)),
+                du_diag=jnp.zeros((p.m,)),
+                reg=jnp.ones((p.nw,)),
+                dl=jnp.ones((p.nw,)),
+                du_=jnp.ones((p.nw,)),
+                zl=jnp.zeros((p.nw,)),
+                zu=jnp.zeros((p.nw,)),
+                factor=factor,
+            )
         if not self.banded:
             ctx = super().zero_context()
             return ctx._replace(factor=ctx.factor._replace(smw=zero_smw))
@@ -268,9 +356,9 @@ class SparseKKT(DenseKKT):
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
         hv = hess.diag if isinstance(hess, LowRankHessian) else hess
-        if self.banded:
+        if self.banded or self.arrow:
             vals = jnp.concatenate([pr_diag, du_diag, jac, hv])
-            factor = self._banded_factorize_coo(
+            factor = self._sparse_factorize_coo(
                 vals, self._k25_scaling(dl, du_, p.m)
             )
         else:
@@ -412,10 +500,10 @@ class SparseCondensedKKT(SparseKKT):
         D = self._diag_buffer(pr_diag, du_diag)
         jv = jac[: self.nnz_jac]  # model entries; slack tail excluded
         hv = hess.diag if isinstance(hess, LowRankHessian) else hess
-        if self.banded:
+        if self.banded or self.arrow:
             w = D[self.bpair_k] * jv[self.bpair_a] * jv[self.bpair_b]
             vals = jnp.concatenate([pr_diag[: p.n], hv, w])
-            factor = self._banded_factorize_coo(vals)
+            factor = self._sparse_factorize_coo(vals)
         else:
             K = jnp.zeros((p.n, p.n))
             idx = jnp.arange(p.n)

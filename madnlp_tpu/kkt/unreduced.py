@@ -158,12 +158,12 @@ class SparseUnreducedKKT(SparseKKT):
             hess, jac, reg, du_diag, dl, du_, zl, zu
         )
         hv = hess  # quasi-Newton low-rank not supported for unreduced
-        if self.banded:
+        if self.banded or self.arrow:
             # value layout must match _band_pattern: diag, jac_ext, hess
             vals = jnp.concatenate(
                 [reg, du_diag, ldg, udg, jac, sl, su, hv]
             )
-            factor = self._banded_factorize_coo(vals)
+            factor = self._sparse_factorize_coo(vals)
         else:
             N = self.sys_size()
             nw, m = p.nw, p.m

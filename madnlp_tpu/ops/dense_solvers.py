@@ -147,6 +147,7 @@ def has_inertia(solver: LinearSolver) -> bool:
         LinearSolver.CHOLESKY,
         LinearSolver.EVD,
         LinearSolver.BANDED,
+        LinearSolver.BLOCK_ARROW,
     )
 
 

@@ -41,6 +41,9 @@ class LinearSolver(enum.Enum):
     LU = "lu"              # XLA LU; no inertia
     QR = "qr"              # XLA QR; no inertia
     EVD = "evd"            # XLA eigh; exact inertia (robust fallback)
+    BLOCK_ARROW = "block_arrow"  # nested-dissection block-arrowhead LDLᵀ
+    # (ops/blockarrow.py): batched independent diagonal blocks + dense
+    # separator Schur complement; exact inertia by Haynsworth additivity
     BANDED = "banded"      # RCM + block-banded LDLᵀ (ops/banded.py) — the
     # sparse direct factorization: O(N·w²) flops, O(N·w) memory; requires a
     # sparse-callback KKT system (SPARSE / SPARSE_CONDENSED)
@@ -247,6 +250,9 @@ class MadNLPOptions:
     banded_backend: str = "auto"   # "auto" | "xla" | "pallas" — "auto" uses
     # the fused Pallas VMEM kernels (ops/pallas_banded.py) on TPU when the
     # band fits VMEM, the XLA fori_loop otherwise
+    arrow_nparts: int = 0          # number of diagonal blocks of the
+    # block-arrowhead factorization (0 = auto: p ≈ (N/w)^(3/5) balancing
+    # block vs separator flops)
 
     # -- derived helpers --------------------------------------------------
     def resolve(self, *, dense_callback: bool, m: int) -> "MadNLPOptions":
