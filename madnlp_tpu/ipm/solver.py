@@ -69,6 +69,7 @@ class MadNLPSolver:
         options: Optional[MadNLPOptions] = None,
         schur_structure=None,
         schur_sharding=None,
+        arrow_sharding=None,
         **kwargs,
     ):
         opts = options if options is not None else MadNLPOptions(**kwargs)
@@ -84,7 +85,10 @@ class MadNLPSolver:
         self.opts = resolved
         self.prob = build_problem(model, self.opts)
         # pick the default linear solver once n_eq is known: condensed systems
-        # are SPD without equality rows -> Cholesky; otherwise LDLᵀ
+        # are SPD without equality rows -> Cholesky; otherwise LDLᵀ; large
+        # sparse problems with a narrow RCM band -> the banded sparse direct
+        # factorization (the reference's density-based smart preset,
+        # src/IPM/options.jl:209-228, extended with a bandwidth criterion)
         if self.opts.linear_solver is None or opts.linear_solver is None:
             kkt_sys = self.opts.kkt_system
             if kkt_sys in (KKTSystem.DENSE_CONDENSED, KKTSystem.SPARSE_CONDENSED):
@@ -95,6 +99,12 @@ class MadNLPSolver:
                 )
             else:
                 lin = LinearSolver.LDL
+            if self.prob.is_sparse and kkt_sys in (
+                KKTSystem.SPARSE,
+                KKTSystem.SPARSE_CONDENSED,
+                KKTSystem.SPARSE_UNREDUCED,
+            ):
+                lin = self._sparse_preset(lin)
             self.opts = dataclasses.replace(self.opts, linear_solver=lin)
         if self.opts.kkt_system == KKTSystem.SCHUR:
             if schur_structure is None:
@@ -133,6 +143,11 @@ class MadNLPSolver:
                     f"KKT system {self.opts.kkt_system} not implemented yet"
                 )
             kkt = kkt_cls(self.prob, self.opts)
+        if arrow_sharding is not None:
+            assert getattr(kkt, "arrow", False), (
+                "arrow_sharding requires linear_solver=BLOCK_ARROW"
+            )
+            kkt.arrow_sharding = arrow_sharding
         if self.prob.is_sparse and self.opts.hessian_approximation.name in (
             "BFGS",
             "DAMPED_BFGS",
@@ -155,6 +170,36 @@ class MadNLPSolver:
         self.state: Optional[State] = None
 
     # ------------------------------------------------------------------
+
+    def _sparse_preset(self, fallback):
+        """Bandwidth-based preset for sparse callbacks: large systems whose
+        quasidefinite-interleaved RCM ordering yields a narrow band use the
+        banded sparse direct factorization; everything else keeps the dense
+        fallback (scatter-assembled storage).  Host-side, trace-time only."""
+        p = self.prob
+        N = p.nw + p.m
+        if N < 1024:
+            return fallback  # dense is latency-optimal at small sizes
+        try:
+            from ..ops.banded import kkt_interleaved_ordering
+
+            hr = np.asarray(p.hess_rows)
+            hc = np.asarray(p.hess_cols)
+            perm = kkt_interleaved_ordering(
+                hr, hc, p.jac_rows_aug, p.jac_cols_aug, p.nw, p.m
+            )
+            iperm = np.empty(N, dtype=np.int64)
+            iperm[perm] = np.arange(N)
+            rows = np.concatenate([p.nw + np.asarray(p.jac_rows_aug), hr])
+            cols = np.concatenate([np.asarray(p.jac_cols_aug), hc])
+            W = int(np.abs(iperm[rows] - iperm[cols]).max(initial=0))
+            b = self.opts.banded_block_size
+            w = (-(-W // b) + 1) * b  # block bandwidth in scalars
+        except Exception:
+            return fallback
+        # banded flops ~ N·w² vs dense N³/3: require a decisive win so the
+        # sequential block-column scan never loses to one big MXU GEMM
+        return LinearSolver.BANDED if w * 4 <= N else fallback
 
     def _print(self, msg, level=PrintLevel.NOTICE):
         """Leveled console print with optional tee to ``output_file``

@@ -135,6 +135,12 @@ class SparseKKT(DenseKKT):
             import jax as _jax
 
             backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
+        if backend == "pallas" and self.bstruct.b % 128 != 0:
+            # Mosaic constraint: HBM DMA slices must be 128-aligned in the
+            # lane dimension, so the streaming kernel needs b to be a
+            # multiple of 128 (also the native MXU tile) — otherwise use
+            # the XLA fori_loop backend
+            backend = "xla"
         if backend in ("pallas", "pallas_interpret"):
             import functools
 
@@ -163,6 +169,11 @@ class SparseKKT(DenseKKT):
             nparts=self.opts.arrow_nparts,
             ldl_block=self.opts.ldl_block_size,
         )
+        # optional NamedSharding over the block axis: the batched block
+        # factorizations run device-local and the Schur-complement einsum
+        # all-reduces over the mesh — single-problem model parallelism
+        # (set via MadNLPSolver(arrow_sharding=...))
+        self.arrow_sharding = None
         fidx = self.astruct.map(rows, cols)
         self.arrow_order, self.arrow_idx_sorted = _sorted_scatter_map(fidx)
         self._ar_rows = jnp.asarray(rows)
@@ -191,12 +202,14 @@ class SparseKKT(DenseKKT):
         Ablk, C, Asep = ast.assemble(
             self.arrow_idx_sorted, sv[self.arrow_order], sorted_indices=True
         )
-        inner = arrow_factorize(
-            ast,
-            Ablk.astype(self.fact_dtype),
-            C.astype(self.fact_dtype),
-            Asep.astype(self.fact_dtype),
-        )
+        Ablk = Ablk.astype(self.fact_dtype)
+        C = C.astype(self.fact_dtype)
+        if self.arrow_sharding is not None:
+            import jax as _jax
+
+            Ablk = _jax.lax.with_sharding_constraint(Ablk, self.arrow_sharding)
+            C = _jax.lax.with_sharding_constraint(C, self.arrow_sharding)
+        inner = arrow_factorize(ast, Ablk, C, Asep.astype(self.fact_dtype))
         return EquilibratedFactor(inner=inner, d=d)
 
     def _sparse_factorize_coo(self, vals, d_analytic=None):

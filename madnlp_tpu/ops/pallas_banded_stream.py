@@ -46,9 +46,11 @@ def _stream_factorize_kernel(
     )
 
     def load(col, slot):
+        # slot may be a Python int (preload); under x64 a bare int lowers to
+        # an i64 index, which Mosaic's memref_slice rejects — force i32
         cp = pltpu.make_async_copy(
             band_hbm.at[pl.ds(col * jnp.int32(stride), stride), :],
-            win.at[slot],
+            win.at[jnp.int32(slot)],
             sem,
         )
         cp.start()

@@ -3,12 +3,14 @@ instance-batch axis over "dp" (zero communication), Schur scenario axis over
 "scen" (all-reduce at the two Schur reduction points, SURVEY.md §3.5).
 Runs on the 8-virtual-device CPU mesh (conftest)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from madnlp_tpu import KKTSystem, MadNLPSolver, Status
+from madnlp_tpu import KKTSystem, LinearSolver, MadNLPSolver, Status
 from madnlp_tpu.ipm.solver import batch_summary
-from madnlp_tpu.models.instances import dummy_qp, twostage
+from madnlp_tpu.models.instances import dummy_qp, opf, twostage
 from madnlp_tpu.parallel import batch_sharding, hybrid_mesh, scenario_sharding
 
 
@@ -59,3 +61,28 @@ def test_dp_batch_on_2d_mesh():
     stb = sv.solve_batch(qs, sharding=batch_sharding(mesh))
     summ = batch_summary(sv.prob, stb)
     assert (summ["status"] == int(Status.SOLVE_SUCCEEDED)).all()
+
+
+def test_arrow_blocks_sharded_over_mesh():
+    """Single-problem model parallelism: the block-arrowhead linear solver
+    with its block axis sharded over the mesh — block factorizations run
+    device-local, the Schur-complement reduction all-reduces.  Must match
+    the unsharded solve exactly (same iteration count and solution)."""
+    model = opf.build_sparse(nb=60, seed=0)
+    ref = MadNLPSolver(
+        model,
+        kkt_system=KKTSystem.SPARSE,
+        linear_solver=LinearSolver.BLOCK_ARROW,
+        arrow_nparts=8,
+    ).solve()
+    mesh = Mesh(np.array(jax.devices()), ("blk",))
+    st = MadNLPSolver(
+        model,
+        kkt_system=KKTSystem.SPARSE,
+        linear_solver=LinearSolver.BLOCK_ARROW,
+        arrow_nparts=8,
+        arrow_sharding=NamedSharding(mesh, P("blk")),
+    ).solve()
+    assert st.status == ref.status == Status.SOLVE_SUCCEEDED
+    assert st.iter == ref.iter
+    np.testing.assert_allclose(st.solution, ref.solution, atol=1e-9)
