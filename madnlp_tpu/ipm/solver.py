@@ -72,7 +72,7 @@ class MadNLPSolver:
         arrow_sharding=None,
         **kwargs,
     ):
-        opts = options if options is not None else MadNLPOptions(**kwargs)
+        opts = options if options is not None else MadNLPOptions.create(**kwargs)
         resolved = opts.resolve(dense_callback=model.is_dense, m=model.m)
         if isinstance(model, SparseNLPModel) and resolved.kkt_system in (
             KKTSystem.DENSE,

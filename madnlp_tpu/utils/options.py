@@ -316,3 +316,36 @@ class MadNLPOptions:
     def richardson_acceptable_tol(self) -> float:
         t = self.richardson.acceptable_tol
         return self.tol ** 0.625 if t is None else t
+
+    @classmethod
+    def create(cls, **kwargs) -> "MadNLPOptions":
+        """Tolerant constructor mirroring the reference's option routing
+        (src/IPM/options.jl:243-299): unknown keys warn-and-ignore instead
+        of raising, and enum-valued options accept their string names
+        (``kkt_system="sparse"``, ``linear_solver="banded"``, ...)."""
+        import typing
+        import warnings
+
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        clean = {}
+        for k, v in kwargs.items():
+            f = fields.get(k)
+            if f is None:
+                warnings.warn(
+                    f"option '{k}' is not recognized and will be ignored",
+                    stacklevel=3,
+                )
+                continue
+            if isinstance(v, str):
+                ann = f.type
+                if isinstance(ann, str):
+                    ann = typing.get_type_hints(cls).get(k, ann)
+                for t in typing.get_args(ann) or (ann,):
+                    if isinstance(t, type) and issubclass(t, enum.Enum):
+                        try:
+                            v = t[v.upper()] if not isinstance(v, t) else v
+                        except KeyError:
+                            v = t(v.lower())
+                        break
+            clean[k] = v
+        return cls(**clean)

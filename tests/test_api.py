@@ -3,7 +3,7 @@ test/madnlp_test.jl:190-202 (warm start) and :286-303 (user callback)."""
 
 import numpy as np
 
-from madnlp_tpu import MadNLPSolver, Status
+from madnlp_tpu import MadNLPSolver, Status, madnlp
 from madnlp_tpu.models.instances import dummy_qp, hs15
 from madnlp_tpu.utils.timing import timing_linear_solver, timing_madnlp
 
@@ -48,3 +48,32 @@ def test_timing_api():
     for key in ("t_obj", "t_grad", "t_jac", "t_hess", "t_build_factorize",
                 "t_backsolve", "t_ipm_step"):
         assert key in t and t[key] >= 0.0
+
+
+def test_unknown_option_warns_and_ignores():
+    """Reference behavior: unknown option keys warn and are ignored
+    (src/IPM/options.jl:243-299; test/madnlp_test.jl:305-312)."""
+    import warnings
+
+    from madnlp_tpu.models.instances import hs15
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        st = madnlp(hs15.build(), totally_bogus_option=1)
+    assert any("totally_bogus_option" in str(x.message) for x in w)
+    assert st.status == Status.SOLVE_SUCCEEDED
+
+
+def test_string_enum_options():
+    """Enum options accept their string names (reference parses strings to
+    enums, options.jl:3-5)."""
+    from madnlp_tpu.models.instances import hs15
+    from madnlp_tpu.utils.options import BarrierUpdate, KKTSystem
+
+    s = MadNLPSolver(
+        hs15.build(), kkt_system="dense", barrier="monotone",
+        hessian_approximation="exact",
+    )
+    assert s.opts.kkt_system == KKTSystem.DENSE
+    assert s.opts.barrier == BarrierUpdate.MONOTONE
+    assert s.solve().status == Status.SOLVE_SUCCEEDED
