@@ -104,7 +104,9 @@ class DenseKKT:
             for _ in range(3):
                 Ks = K * (d[:, None] * d[None, :])
                 r = jnp.max(jnp.abs(Ks), axis=1)
-                d = d / jnp.sqrt(jnp.maximum(r, 1e-32))
+                # zero rows keep d = 1 (TPU f64 is double-word f32: a
+                # diverging scaling overflows at ~1e38 and poisons K)
+                d = jnp.where(r > 0.0, d / jnp.sqrt(jnp.maximum(r, 1e-32)), 1.0)
         else:
             d = jnp.ones((K.shape[0],), K.dtype)
         Kf = (K * (d[:, None] * d[None, :])).astype(self.fact_dtype)

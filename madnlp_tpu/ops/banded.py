@@ -298,7 +298,13 @@ def banded_symv(struct: BandStructure, band_sym: jax.Array, x: jax.Array):
 def ruiz_band(struct: BandStructure, band_sym: jax.Array, sweeps: int = 3):
     """Ruiz equilibration computed directly on the (symmetrized) band —
     static-slice max-reductions only, no scatters.  Returns the scaling in
-    PERMUTED block layout, shape (nbp, b)."""
+    PERMUTED block layout, shape (nbp, b).
+
+    Structurally-zero rows (the band's ``bw`` all-zero overflow blocks)
+    keep d = 1: iterating d ← d/√(row-norm) on a zero row diverges, and on
+    TPU — where f64 is emulated as double-word f32 with f32's exponent
+    range (~1e38) — the diverged scaling overflows to inf and 0·inf = NaN
+    poisons the trailing blocks of the factorization."""
     b, bw, nbp = struct.b, struct.bw, struct.nbp
     d = jnp.ones((nbp, b), band_sym.dtype)
     for _ in range(sweeps):
@@ -312,7 +318,7 @@ def ruiz_band(struct: BandStructure, band_sym: jax.Array, sweeps: int = 3):
             )
             rn = rn.at[k:].max(jnp.max(ak, axis=2))
             rn = rn.at[: nbp - k].max(jnp.max(ak, axis=1))
-        d = d / jnp.sqrt(jnp.maximum(rn, 1e-32))
+        d = jnp.where(rn > 0.0, d / jnp.sqrt(jnp.maximum(rn, 1e-32)), 1.0)
     return d
 
 
@@ -345,5 +351,6 @@ def ruiz_coo(vals, rows_j, cols_j, N: int, sweeps: int = 3,
             rn = rn.at[cs].max(v[co], indices_are_sorted=True)
         else:
             rn = rn.at[rows_j].max(v).at[cols_j].max(v)
-        d = d / jnp.sqrt(jnp.maximum(rn, 1e-32))
+        # zero rows keep d = 1 (see ruiz_band: TPU f64 range is ~f32)
+        d = jnp.where(rn > 0.0, d / jnp.sqrt(jnp.maximum(rn, 1e-32)), 1.0)
     return d
