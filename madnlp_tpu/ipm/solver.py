@@ -73,6 +73,13 @@ class MadNLPSolver:
         **kwargs,
     ):
         opts = options if options is not None else MadNLPOptions.create(**kwargs)
+        if opts.kkt_system == KKTSystem.SCALED_SPARSE:
+            # K2.5 (ScaledSparseKKTSystem, scaled_augmented.jl) = the
+            # augmented system under the analytic sqrt(Xi) congruence
+            # scaling — here that is the SPARSE system with kkt_scaling="k25"
+            opts = dataclasses.replace(
+                opts, kkt_system=KKTSystem.SPARSE, kkt_scaling="k25"
+            )
         resolved = opts.resolve(dense_callback=model.is_dense, m=model.m)
         if isinstance(model, SparseNLPModel) and resolved.kkt_system in (
             KKTSystem.DENSE,

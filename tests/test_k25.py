@@ -32,3 +32,16 @@ def test_k25_enables_f32_on_acopf():
 def test_no_scaling_option():
     s = madnlp(hs15.build(), kkt_scaling="none")
     assert s.status == Status.SOLVE_SUCCEEDED
+
+
+def test_scaled_sparse_kkt_system_alias():
+    """KKTSystem.SCALED_SPARSE (the reference's ScaledSparseKKTSystem,
+    scaled_augmented.jl) resolves to the augmented system with the analytic
+    K2.5 scaling."""
+    from madnlp_tpu import Status
+    from madnlp_tpu.models.instances import dummy_qp
+
+    st = madnlp(dummy_qp.build(20, 5), kkt_system="scaled_sparse")
+    ref = madnlp(dummy_qp.build(20, 5), kkt_scaling="k25")
+    assert st.status == Status.SOLVE_SUCCEEDED
+    assert st.iter == ref.iter
