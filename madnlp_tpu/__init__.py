@@ -10,6 +10,7 @@ from . import _config  # noqa: F401  (enables x64 by default)
 
 from .models.model import DenseNLPModel, SparseNLPModel, NLPModel, create_model
 from .models.frontends import from_scipy, host_model
+from .models.nl import read_nl, solve_nl, write_sol
 from .utils.options import (
     MadNLPOptions,
     KKTSystem,
@@ -28,7 +29,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DenseNLPModel", "SparseNLPModel", "NLPModel", "create_model",
-    "from_scipy", "host_model",
+    "from_scipy", "host_model", "read_nl", "solve_nl", "write_sol",
     "MadNLPOptions", "KKTSystem", "LinearSolver", "InertiaCorrection",
     "BarrierUpdate", "FixedVariableTreatment", "EqualityTreatment",
     "HessianApproximation", "PrintLevel", "Status", "is_success",

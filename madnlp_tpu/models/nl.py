@@ -1,0 +1,521 @@
+"""AMPL ``.nl`` front end — standard-format model import.
+
+Plays the role of the reference's JuMP/MathOptInterface entry point
+(``/root/reference/ext/MadNLPMOI/MOI_wrapper.jl:1376-1561``): where Julia
+users reach MadNLP through JuMP, the Python/AMPL ecosystem's lingua franca
+is the ``.nl`` file (emitted by AMPL, Pyomo, CasADi, and JuMP's own
+AmplNLWriter).  This module reads the *text* ``.nl`` format (D. Gay,
+"Writing .nl files", 2005), compiles the operator-prefix expression graphs
+into pure JAX-traceable callables (so all derivatives come from JAX AD on
+TPU — the analogue of MOI.Nonlinear's AD backend), and writes the matching
+``.sol`` file so madnlp_tpu can serve as a drop-in AMPL/Pyomo solver
+executable::
+
+    model = read_nl("hs015.nl")
+    stats = madnlp(model)
+    write_sol("hs015.sol", stats, model)
+
+or from a shell / Pyomo ``SolverFactory``-style hook::
+
+    python -m madnlp_tpu.models.nl model.nl -AMPL tol=1e-8
+
+Supported: minimize/maximize, nonlinear constraint/objective expressions
+(full smooth opcode set), linear J/G segments, ranges/equalities, variable
+bounds, primal/dual initial points, defined variables (common
+subexpressions, ``V`` segments), suffix skipping.  Not supported (clear
+errors): binary-format files, complementarity constraints, logical
+constraints, external functions, piecewise-linear terms.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .model import DenseNLPModel
+
+# --------------------------------------------------------------------------
+# opcode table (ASL opcode.hd numbering — the on-disk format's operator ids)
+# --------------------------------------------------------------------------
+
+_BINARY = {
+    0: jnp.add,
+    1: jnp.subtract,
+    2: jnp.multiply,
+    3: jnp.divide,
+    4: lambda a, b: jnp.fmod(a, b),           # AMPL `rem`
+    6: lambda a, b: jnp.maximum(a - b, 0.0),  # AMPL `less`
+    48: jnp.arctan2,
+    55: lambda a, b: jnp.trunc(a / b),        # integer `div`
+}
+
+_UNARY = {
+    13: jnp.floor,
+    14: jnp.ceil,
+    15: jnp.abs,
+    16: jnp.negative,
+    37: jnp.tanh,
+    38: jnp.tan,
+    39: jnp.sqrt,
+    40: jnp.sinh,
+    41: jnp.sin,
+    42: lambda a: jnp.log10(a),
+    43: jnp.log,
+    44: jnp.exp,
+    45: jnp.cosh,
+    46: jnp.cos,
+    47: jnp.arctanh,
+    49: jnp.arctan,
+    50: jnp.arcsinh,
+    51: jnp.arcsin,
+    52: jnp.arccosh,
+    53: jnp.arccos,
+}
+
+# relational / boolean opcodes (used inside `if` conditions)
+_RELATIONAL = {
+    22: lambda a, b: a < b,
+    23: lambda a, b: a <= b,
+    24: lambda a, b: a == b,
+    28: lambda a, b: a >= b,
+    29: lambda a, b: a > b,
+    30: lambda a, b: a != b,
+}
+
+_NARY = {
+    11: lambda args: _reduce(jnp.minimum, args),   # MINLIST
+    12: lambda args: _reduce(jnp.maximum, args),   # MAXLIST
+    54: lambda args: sum(args[1:], args[0]),       # OPSUMLIST
+}
+
+_OP_NAMES = {
+    5: "pow", 20: "or", 21: "and", 34: "not", 35: "if",
+    56: "precision", 57: "round", 58: "trunc", 59: "count",
+    60: "numberof", 61: "numberofs", 64: "piecewise-linear term",
+    79: "external function call",
+}
+
+
+def _reduce(f, args):
+    out = args[0]
+    for a in args[1:]:
+        out = f(out, a)
+    return out
+
+
+# --------------------------------------------------------------------------
+# tokenizer — text .nl is one token/record per line, `#` starts a comment
+# --------------------------------------------------------------------------
+
+class _Stream:
+    def __init__(self, lines: List[str]):
+        self.lines = lines
+        self.pos = 0
+
+    def next(self) -> Optional[str]:
+        while self.pos < len(self.lines):
+            raw = self.lines[self.pos]
+            self.pos += 1
+            body = raw.split("#", 1)[0].strip()
+            if body:
+                return body
+        return None
+
+    def expect(self) -> str:
+        tok = self.next()
+        if tok is None:
+            raise ValueError("unexpected end of .nl file")
+        return tok
+
+
+# --------------------------------------------------------------------------
+# expression graph: parse (prefix order) and evaluate (JAX-traceable)
+# --------------------------------------------------------------------------
+
+def _read_expr(s: _Stream):
+    """Read one prefix-order expression; returns a nested-tuple AST."""
+    tok = s.expect()
+    c, rest = tok[0], tok[1:].strip()
+    if c == "n":                       # numeric constant
+        return ("const", float(rest))
+    if c in "sl":                      # short/long int constant (rare in text)
+        return ("const", float(rest))
+    if c == "v":                       # variable or defined-variable reference
+        return ("var", int(rest))
+    if c == "o":
+        op = int(rest.split()[0])
+        if op in _NARY:
+            count = int(s.expect())
+            return (op, tuple(_read_expr(s) for _ in range(count)))
+        if op in _BINARY or op in _RELATIONAL or op in (5, 20, 21):
+            return (op, (_read_expr(s), _read_expr(s)))
+        if op in _UNARY or op == 34:
+            return (op, (_read_expr(s),))
+        if op == 35:                   # OPIFnl: if cond then e1 else e2
+            return (op, (_read_expr(s), _read_expr(s), _read_expr(s)))
+        raise NotImplementedError(
+            f".nl opcode o{op} ({_OP_NAMES.get(op, 'unknown')}) is not "
+            "supported (smooth NLP opcodes only)"
+        )
+    if c == "f":
+        raise NotImplementedError(".nl external function calls (f) unsupported")
+    if c == "h":
+        raise NotImplementedError(".nl string arguments (h) unsupported")
+    raise ValueError(f"unexpected token in .nl expression: {tok!r}")
+
+
+def _eval_expr(node, env):
+    """Evaluate an AST against ``env`` (index -> traced scalar).  Runs at
+    trace time only — the result is a fused XLA graph, not an interpreter."""
+    kind, payload = node
+    if kind == "const":
+        return payload
+    if kind == "var":
+        return env[payload]
+    args = [_eval_expr(a, env) for a in payload]
+    if kind in _BINARY:
+        return _BINARY[kind](*args)
+    if kind in _UNARY:
+        return _UNARY[kind](*args)
+    if kind in _RELATIONAL:
+        return _RELATIONAL[kind](*args)
+    if kind in _NARY:
+        return _NARY[kind](args)
+    if kind == 5:                      # pow — keep integer powers exact for AD
+        base, expo = payload
+        if expo[0] == "const" and float(expo[1]).is_integer():
+            return args[0] ** int(expo[1])
+        return args[0] ** args[1]
+    if kind == 20:
+        return jnp.logical_or(args[0], args[1])
+    if kind == 21:
+        return jnp.logical_and(args[0], args[1])
+    if kind == 34:
+        return jnp.logical_not(args[0])
+    if kind == 35:
+        return jnp.where(args[0], args[1], args[2])
+    raise AssertionError(f"unreachable opcode {kind}")
+
+
+def _expr_is_zero(node) -> bool:
+    return node is None or (node[0] == "const" and node[1] == 0.0)
+
+
+# --------------------------------------------------------------------------
+# bounds records (shared by `r` and `b` segments)
+# --------------------------------------------------------------------------
+
+def _read_bound(tok: str) -> Tuple[float, float]:
+    parts = tok.split()
+    code = int(parts[0])
+    if code == 0:
+        return float(parts[1]), float(parts[2])
+    if code == 1:
+        return -np.inf, float(parts[1])
+    if code == 2:
+        return float(parts[1]), np.inf
+    if code == 3:
+        return -np.inf, np.inf
+    if code == 4:
+        v = float(parts[1])
+        return v, v
+    if code == 5:
+        raise NotImplementedError(
+            ".nl complementarity constraints (bound code 5) unsupported"
+        )
+    raise ValueError(f"bad bound code in .nl: {tok!r}")
+
+
+# --------------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------------
+
+class NLInfo:
+    """Side-band data from the .nl header needed to write a .sol file."""
+
+    def __init__(self, options, n_var, n_con):
+        self.options = options          # ints echoed back in the .sol Options block
+        self.n_var = n_var
+        self.n_con = n_con
+
+
+def read_nl(path: str, objno: int = 0) -> DenseNLPModel:
+    """Parse a text-format ``.nl`` file into a :class:`DenseNLPModel`.
+
+    The expression graphs become JAX-traceable callables; derivatives come
+    from JAX AD (reference ingests models through MOI.Nonlinear AD the same
+    way, ext/MadNLPMOI/MOI_wrapper.jl:1376-1561).  The returned model
+    carries an ``nl_info`` attribute for :func:`write_sol`.
+    """
+    with open(path, "r") as f:
+        lines = f.read().splitlines()
+    if not lines:
+        raise ValueError(f"{path}: empty file")
+    first = lines[0]
+    if first[:1] == "b":
+        raise NotImplementedError(
+            f"{path}: binary-format .nl (header 'b'); re-export in text mode "
+            "(AMPL option nl_comments/g; Pyomo writes text by default)"
+        )
+    if first[:1] != "g":
+        raise ValueError(f"{path}: not a .nl file (header {first[:10]!r})")
+    header_opts = [int(t) for t in first[1:].split("#", 1)[0].split()]
+
+    # 9 further header lines of integers
+    hdr = []
+    idx = 1
+    while len(hdr) < 9 and idx < len(lines):
+        body = lines[idx].split("#", 1)[0].strip()
+        idx += 1
+        if body:
+            hdr.append([_int_or_float(t) for t in body.split()])
+    if len(hdr) < 9:
+        raise ValueError(f"{path}: truncated .nl header")
+
+    n_var, n_con, n_obj = int(hdr[0][0]), int(hdr[0][1]), int(hdr[0][2])
+    if n_obj == 0:
+        raise ValueError(f"{path}: no objective in model")
+    if objno >= n_obj:
+        raise ValueError(f"{path}: objno {objno} out of range ({n_obj} objectives)")
+
+    s = _Stream(lines[idx:])
+
+    con_expr = [None] * n_con
+    obj_expr = [None] * n_obj
+    obj_sense = [0] * n_obj            # 0 = minimize, 1 = maximize
+    jac_lin = [[] for _ in range(n_con)]   # (var, coef)
+    grad_lin = [[] for _ in range(n_obj)]
+    lcon = np.zeros(n_con)
+    ucon = np.zeros(n_con)
+    lvar = np.full(n_var, -np.inf)
+    uvar = np.full(n_var, np.inf)
+    x0 = np.zeros(n_var)
+    y0 = np.zeros(n_con)
+    defined = []                        # (index, [(var, coef)], expr) in file order
+
+    while True:
+        tok = s.next()
+        if tok is None:
+            break
+        c = tok[0]
+        rest = tok[1:].split()
+        if c == "C":
+            con_expr[int(rest[0])] = _read_expr(s)
+        elif c == "O":
+            i = int(rest[0])
+            obj_sense[i] = int(rest[1])
+            obj_expr[i] = _read_expr(s)
+        elif c == "x":
+            for _ in range(int(rest[0])):
+                i_s, v_s = s.expect().split()
+                x0[int(i_s)] = float(v_s)
+        elif c == "d":
+            for _ in range(int(rest[0])):
+                i_s, v_s = s.expect().split()
+                y0[int(i_s)] = float(v_s)
+        elif c == "r":
+            for i in range(n_con):
+                lcon[i], ucon[i] = _read_bound(s.expect())
+        elif c == "b":
+            for i in range(n_var):
+                lvar[i], uvar[i] = _read_bound(s.expect())
+        elif c in "kK":
+            for _ in range(int(rest[0])):   # cumulative col counts — AD recovers
+                s.expect()
+        elif c == "J":
+            i, k = int(rest[0]), int(rest[1])
+            for _ in range(k):
+                v_s, c_s = s.expect().split()
+                jac_lin[i].append((int(v_s), float(c_s)))
+        elif c == "G":
+            i, k = int(rest[0]), int(rest[1])
+            for _ in range(k):
+                v_s, c_s = s.expect().split()
+                grad_lin[i].append((int(v_s), float(c_s)))
+        elif c == "V":
+            vi, nlin, _where = int(rest[0]), int(rest[1]), rest[2]
+            lin = []
+            for _ in range(nlin):
+                v_s, c_s = s.expect().split()
+                lin.append((int(v_s), float(c_s)))
+            defined.append((vi, lin, _read_expr(s)))
+        elif c == "S":                  # suffix: skip n (index, value) records
+            for _ in range(int(rest[1])):
+                s.expect()
+        elif c == "L":
+            raise NotImplementedError(".nl logical constraints (L) unsupported")
+        elif c == "F":
+            raise NotImplementedError(".nl imported functions (F) unsupported")
+        else:
+            raise ValueError(f"unknown .nl segment {tok!r}")
+
+    # ---- compile to JAX callables --------------------------------------
+    # Linear parts as a dense matrix/vector (static, built host-side).
+    A = np.zeros((n_con, n_var))
+    for i, terms in enumerate(jac_lin):
+        for v, cf in terms:
+            A[i, v] += cf
+    g0 = np.zeros(n_var)
+    for v, cf in grad_lin[objno]:
+        g0[v] += cf
+
+    defined_sorted = defined            # .nl guarantees definition-before-use order
+    o_expr = obj_expr[objno]
+    maximize = obj_sense[objno] == 1
+
+    def _env(x):
+        env = {i: x[i] for i in range(n_var)}
+        for vi, lin, expr in defined_sorted:
+            val = _eval_expr(expr, env)
+            for v, cf in lin:
+                val = val + cf * env[v]
+            env[vi] = val
+        return env
+
+    def obj(x):
+        val = _eval_expr(o_expr, _env(x)) if not _expr_is_zero(o_expr) else 0.0
+        if np.any(g0):
+            val = val + jnp.dot(jnp.asarray(g0, dtype=x.dtype), x)
+        return jnp.asarray(val, dtype=x.dtype)
+
+    cons = None
+    if n_con:
+        lin_rows = np.any(A != 0.0, axis=1)
+
+        def cons(x):
+            env = _env(x)
+            vals = [
+                _eval_expr(e, env) if not _expr_is_zero(e) else jnp.zeros((), x.dtype)
+                for e in con_expr
+            ]
+            body = jnp.stack([jnp.asarray(v, dtype=x.dtype) for v in vals])
+            if lin_rows.any():
+                body = body + jnp.asarray(A, dtype=x.dtype) @ x
+            return body
+
+    model = DenseNLPModel(
+        n=n_var, m=n_con, obj=obj, cons=cons, x0=x0,
+        lvar=lvar, uvar=uvar, lcon=lcon, ucon=ucon, y0=y0,
+        minimize=not maximize, name=path,
+    )
+    model.nl_info = NLInfo(header_opts, n_var, n_con)
+    return model
+
+
+def _int_or_float(t: str):
+    try:
+        return int(t)
+    except ValueError:
+        return float(t)
+
+
+# --------------------------------------------------------------------------
+# .sol writer — ASL format read back by AMPL / Pyomo / AmplNLWriter
+# --------------------------------------------------------------------------
+
+_SOLVE_RESULT = {
+    # madnlp_tpu Status -> AMPL solve_result_num class
+    "SOLVE_SUCCEEDED": 0,
+    "SOLVED_TO_ACCEPTABLE_LEVEL": 100,
+    "INFEASIBLE_PROBLEM_DETECTED": 200,
+    "DIVERGING_ITERATES": 300,
+    "MAXIMUM_ITERATIONS_EXCEEDED": 400,
+    "MAXIMUM_WALLTIME_EXCEEDED": 400,
+    "USER_REQUESTED_STOP": 400,
+}
+
+
+def write_sol(path: str, stats, model, message: Optional[str] = None) -> None:
+    """Write an AMPL ``.sol`` answer file for ``stats`` obtained on a model
+    returned by :func:`read_nl` (reference analogue: MOI result attributes,
+    ext/MadNLPMOI/MOI_wrapper.jl result section)."""
+    info = getattr(model, "nl_info", None) or NLInfo([1, 1, 0], model.n, model.m)
+    code = _SOLVE_RESULT.get(stats.status.name, 500)
+    if message is None:
+        message = f"madnlp_tpu: {stats.status.name} after {stats.iter} iterations"
+    opts = list(info.options) if info.options else [1, 1, 0]
+    duals = np.asarray(stats.multipliers, dtype=float)[: info.n_con]
+    primal = np.asarray(stats.solution, dtype=float)[: info.n_var]
+    with open(path, "w") as f:
+        for line in message.splitlines():
+            f.write(line + "\n")
+        f.write("\n")
+        f.write("Options\n")
+        f.write(f"{len(opts)}\n")
+        for o in opts:
+            f.write(f"{o}\n")
+        f.write(f"{info.n_con} {len(duals)}\n")
+        f.write(f"{info.n_var} {len(primal)}\n")
+        for v in duals:
+            f.write(f"{v:.17g}\n")
+        for v in primal:
+            f.write(f"{v:.17g}\n")
+        f.write(f"objno 0 {code}\n")
+
+
+def read_sol(path: str, n_var: int, n_con: int):
+    """Read back a .sol file (testing / interop helper).  Returns
+    ``(primal, duals, solve_result_num, message)``."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i = lines.index("Options")
+    msg = "\n".join(l for l in lines[:i] if l)
+    nopt = int(lines[i + 1])
+    j = i + 2 + nopt
+    ncon_line = lines[j].split()
+    nvar_line = lines[j + 1].split()
+    nd, np_ = int(ncon_line[1]), int(nvar_line[1])
+    duals = np.array([float(v) for v in lines[j + 2 : j + 2 + nd]])
+    primal = np.array([float(v) for v in lines[j + 2 + nd : j + 2 + nd + np_]])
+    code = 500
+    for l in lines[j + 2 + nd + np_ :]:
+        if l.startswith("objno"):
+            code = int(l.split()[2])
+    return primal, duals, code, msg
+
+
+# --------------------------------------------------------------------------
+# AMPL solver-executable entry point
+# --------------------------------------------------------------------------
+
+def solve_nl(path: str, sol_path: Optional[str] = None, **options):
+    """Read ``path``, solve, optionally write the ``.sol`` next to it."""
+    from ..ipm.solver import madnlp
+
+    model = read_nl(path)
+    stats = madnlp(model, **options)
+    if sol_path:
+        write_sol(sol_path, stats, model)
+    return stats
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    """``python -m madnlp_tpu.models.nl model[.nl] [-AMPL] [key=value ...]``
+
+    Behaves like an AMPL solver binary: reads ``model.nl``, writes
+    ``model.sol``.  Extra ``key=value`` arguments go through the tolerant
+    option intake (unknown keys warn-and-ignore, like the reference)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print("usage: madnlp_tpu-ampl model[.nl] [-AMPL] [key=value ...]",
+              file=sys.stderr)
+        return 2
+    stub = argv[0]
+    nl_path = stub if stub.endswith(".nl") else stub + ".nl"
+    base = nl_path[:-3]
+    options = {}
+    for arg in argv[1:]:
+        if arg == "-AMPL" or arg.startswith("-"):
+            continue
+        if "=" in arg:
+            k, v = arg.split("=", 1)
+            options[k] = v
+    stats = solve_nl(nl_path, sol_path=base + ".sol", **options)
+    return 0 if stats.status.name in _SOLVE_RESULT else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -347,5 +347,16 @@ class MadNLPOptions:
                         except KeyError:
                             v = t(v.lower())
                         break
+                    # numeric/bool fields tolerate string values too (AMPL
+                    # option strings, env vars, CLI key=value arguments)
+                    if t is bool and isinstance(v, str):
+                        v = v.lower() in ("1", "true", "yes", "on")
+                        break
+                    if t in (int, float) and isinstance(v, str):
+                        try:
+                            v = t(v)
+                        except ValueError:
+                            pass
+                        break
             clean[k] = v
         return cls(**clean)

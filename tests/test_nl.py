@@ -1,0 +1,230 @@
+"""AMPL .nl front-end tests — model import parity with the reference's MOI
+layer (ext/MadNLPMOI/MOI_wrapper.jl).  Fixtures are hand-written text-format
+.nl files exactly as AMPL/Pyomo emit them (one token per line, linear parts
+in J/G segments, nonlinear parts as prefix expression graphs)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from madnlp_tpu import madnlp
+from madnlp_tpu.models.instances import hs15
+from madnlp_tpu.models.nl import main, read_nl, read_sol, solve_nl, write_sol
+
+HS15_NL = """g3 1 1 0\t# problem hs15
+ 2 2 1 0 0\t# vars, constraints, objectives, ranges, eqns
+ 2 1\t# nonlinear constraints, objectives
+ 0 0\t# network constraints: nonlinear, linear
+ 2 2 2\t# nonlinear vars in constraints, objectives, both
+ 0 0 0 1\t# linear network variables; functions; arith, flags
+ 0 0 0 0 0\t# discrete variables: binary, integer, nonlinear (b,c,o)
+ 4 2\t# nonzeros in Jacobian, gradients
+ 0 0\t# max name lengths: constraints, variables
+ 0 0 0 0 0\t# common exprs: b,c,o,c1,o1
+C0
+o2
+v0
+v1
+C1
+o0
+v0
+o5
+v1
+n2
+O0 0
+o0
+o2
+n100
+o5
+o1
+v1
+o5
+v0
+n2
+n2
+o5
+o1
+n1
+v0
+n2
+x2
+0 1
+1 1
+r
+2 1
+2 0
+b
+1 0.5
+3
+k1
+2
+J0 2
+0 0
+1 0
+J1 2
+0 0
+1 0
+G0 2
+0 0
+1 0
+"""
+
+# max x0 + x1  s.t. x0 + 2 x1 <= 4,  0 <= x0 <= 1.5,  x1 >= 0
+# optimum (1.5, 1.25), objective 2.75.  Includes a dual-init segment and a
+# suffix segment (must be skipped cleanly).
+LP_NL = """g3 1 1 0
+ 2 1 1 0 0
+ 0 0
+ 0 0
+ 0 0 0
+ 0 0 0 1
+ 0 0 0 0 0
+ 2 2
+ 0 0
+ 0 0 0 0 0
+C0
+n0
+O0 1
+n0
+x2
+0 0.1
+1 0.1
+d1
+0 0.5
+r
+1 4
+b
+0 0 1.5
+2 0
+k1
+1
+J0 2
+0 1
+1 2
+G0 2
+0 1
+1 1
+S0 2 zork
+0 1
+1 2
+"""
+
+# min (x0 + 2 x1 - 1)^2 + x0^2 via a defined variable v2 = x0 + 2 x1
+# (V segment / common subexpression).  Optimum (0, 0.5), objective 0.
+DEFVAR_NL = """g3 1 1 0
+ 2 0 1 0 0
+ 0 1
+ 0 0
+ 0 2 2
+ 0 0 0 1
+ 0 0 0 0 0
+ 0 2
+ 0 0
+ 0 0 1 0 0
+V2 2 0
+0 1
+1 2
+n0
+O0 0
+o0
+o5
+o1
+v2
+n1
+n2
+o5
+v0
+n2
+x2
+0 0.2
+1 0.2
+b
+3
+3
+G0 2
+0 0
+1 0
+"""
+
+
+@pytest.fixture
+def nl_file(tmp_path):
+    def write(text, name="model.nl"):
+        p = tmp_path / name
+        p.write_text(text)
+        return str(p)
+
+    return write
+
+
+def test_hs15_parse_matches_native(nl_file):
+    model = read_nl(nl_file(HS15_NL))
+    assert model.n == 2 and model.m == 2
+    np.testing.assert_allclose(model.x0, [1.0, 1.0])
+    np.testing.assert_allclose(model.lcon, [1.0, 0.0])
+    assert model.ucon[0] == np.inf
+    np.testing.assert_allclose(model.uvar, [0.5, np.inf])
+    # expression graphs evaluate identically to the native fixture
+    for pt in ([1.0, 1.0], [-2.0, 3.0], [0.3, 7.0]):
+        x = jnp.asarray(pt)
+        np.testing.assert_allclose(model.obj(x), hs15.obj(x), rtol=1e-14)
+        np.testing.assert_allclose(model.cons(x), hs15.cons(x), rtol=1e-14)
+
+
+def test_hs15_solve(nl_file):
+    stats = madnlp(read_nl(nl_file(HS15_NL)), print_level="ERROR")
+    assert stats.status.name == "SOLVE_SUCCEEDED"
+    assert abs(stats.objective - hs15.SOLUTION_OBJ_FROM_ONES) < 1e-4
+
+
+def test_maximize_lp(nl_file):
+    model = read_nl(nl_file(LP_NL))
+    assert not model.minimize
+    np.testing.assert_allclose(model.y0, [0.5])
+    stats = madnlp(model, print_level="ERROR")
+    assert stats.status.name == "SOLVE_SUCCEEDED"
+    np.testing.assert_allclose(stats.solution, [1.5, 1.25], atol=1e-6)
+    assert abs(stats.objective - 2.75) < 1e-6
+
+
+def test_defined_variables(nl_file):
+    model = read_nl(nl_file(DEFVAR_NL))
+    x = jnp.asarray([0.7, -0.3])
+    expect = (0.7 + 2 * -0.3 - 1.0) ** 2 + 0.7**2
+    np.testing.assert_allclose(model.obj(x), expect, rtol=1e-14)
+    stats = madnlp(model, print_level="ERROR")
+    np.testing.assert_allclose(stats.solution, [0.0, 0.5], atol=1e-6)
+
+
+def test_sol_roundtrip(nl_file, tmp_path):
+    path = nl_file(LP_NL)
+    stats = solve_nl(path, sol_path=str(tmp_path / "model.sol"),
+                     print_level="ERROR")
+    primal, duals, code, msg = read_sol(str(tmp_path / "model.sol"), 2, 1)
+    np.testing.assert_allclose(primal, stats.solution)
+    np.testing.assert_allclose(duals, stats.multipliers)
+    assert code == 0
+    assert "SOLVE_SUCCEEDED" in msg
+
+
+def test_ampl_executable_cli(nl_file, tmp_path):
+    path = nl_file(LP_NL)
+    rc = main([path, "-AMPL", "tol=1e-8", "print_level=ERROR"])
+    assert rc == 0
+    primal, _, code, _ = read_sol(path[:-3] + ".sol", 2, 1)
+    assert code == 0
+    np.testing.assert_allclose(primal, [1.5, 1.25], atol=1e-6)
+
+
+def test_binary_format_rejected(tmp_path):
+    p = tmp_path / "bin.nl"
+    p.write_text("b3 1 1 0\n 1 0 1 0 0\n")
+    with pytest.raises(NotImplementedError, match="binary"):
+        read_nl(str(p))
+
+
+def test_unknown_opcode_rejected(nl_file):
+    bad = HS15_NL.replace("o2\nv0\nv1", "o64\nv0\nv1", 1)
+    with pytest.raises(NotImplementedError, match="o64"):
+        read_nl(nl_file(bad))
