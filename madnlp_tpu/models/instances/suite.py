@@ -115,3 +115,37 @@ def unbounded() -> DenseNLPModel:
         minimize=False,
         name="unbounded",
     )
+
+
+def lp_issue75() -> DenseNLPModel:
+    """MadNLPTests `lp_examodels_issue75` (MadNLPTests.jl:422-441): a plain
+    LP that once broke the sparse wrapper path.  Optimum (15, 1.25),
+    objective 205."""
+    return create_model(
+        obj=lambda x: 12.0 * x[0] + 20.0 * x[1],
+        n=2,
+        x0=[0.0, 0.0],
+        cons=lambda x: jnp.array([6.0 * x[0] + 8.0 * x[1],
+                                  7.0 * x[0] + 12.0 * x[1]]),
+        m=2,
+        lvar=[0.0, 0.0],
+        uvar=[np.inf, 3.0],
+        lcon=[100.0, 120.0],
+        ucon=[np.inf, np.inf],
+        name="lp_issue75",
+    )
+
+
+LP_ISSUE75_SOLUTION = np.array([15.0, 1.25])
+
+
+def bound_qp() -> DenseNLPModel:
+    """MadNLPTests `jump_array_type` model (MadNLPTests.jl:443-455):
+    min x₁² + x₂² with x >= 1 — optimum at the bound corner (1, 1)."""
+    return create_model(
+        obj=lambda x: x[0] ** 2 + x[1] ** 2,
+        n=2,
+        x0=[2.0, 2.0],
+        lvar=[1.0, 1.0],
+        name="bound_qp",
+    )

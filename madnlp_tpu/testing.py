@@ -169,12 +169,25 @@ def _check_unbounded(stats):
     assert stats.status == Status.DIVERGING_ITERATES
 
 
+def _check_lp_issue75(stats):
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    np.testing.assert_allclose(stats.solution, suite.LP_ISSUE75_SOLUTION,
+                               atol=1e-6)
+
+
+def _check_bound_qp(stats):
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    np.testing.assert_allclose(stats.solution, [1.0, 1.0], atol=1e-6)
+
+
 BEHAVIOR_SUITE = {
     "hs15": (hs15.build, _check_hs15),
     "lootsma": (suite.lootsma, _check_lootsma),
     "eigmina": (suite.eigmina, _check_eigmina),
     "infeasible": (suite.infeasible, _check_infeasible),
     "unbounded": (suite.unbounded, _check_unbounded),
+    "lp_issue75": (suite.lp_issue75, _check_lp_issue75),
+    "bound_qp": (suite.bound_qp, _check_bound_qp),
 }
 
 
