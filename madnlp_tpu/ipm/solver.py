@@ -91,6 +91,14 @@ class MadNLPSolver:
         self.model = model
         self.opts = resolved
         self.prob = build_problem(model, self.opts)
+        if self.opts.ldl_block_size is None:
+            # measured MXU optimum: 128-wide panels once the KKT system is
+            # big enough to fill them (nb=600 ACOPF: 9.3 -> 10.7 iter/s),
+            # 64 below that (less padding on small systems)
+            self.opts = dataclasses.replace(
+                self.opts,
+                ldl_block_size=128 if self.prob.nw + self.prob.m >= 1024 else 64,
+            )
         # pick the default linear solver once n_eq is known: condensed systems
         # are SPD without equality rows -> Cholesky; otherwise LDLᵀ; large
         # sparse problems with a narrow RCM band -> the banded sparse direct

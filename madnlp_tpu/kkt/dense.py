@@ -111,7 +111,7 @@ class DenseKKT:
             d = jnp.ones((K.shape[0],), K.dtype)
         Kf = (K * (d[:, None] * d[None, :])).astype(self.fact_dtype)
         inner = ds.factorize(
-            Kf, self.solver, block=self.opts.ldl_block_size,
+            Kf, self.solver, block=self.opts.ldl_block_size or 64,
             solve_mode=self.solve_mode,
         )
         return EquilibratedFactor(inner=inner, d=d)
@@ -185,7 +185,7 @@ class DenseKKT:
         N = self.sys_size()
         factor = EquilibratedFactor(
             inner=ds.zero_factor(
-                self.solver, N, self.fact_dtype, block=self.opts.ldl_block_size
+                self.solver, N, self.fact_dtype, block=self.opts.ldl_block_size or 64
             ),
             d=jnp.ones((N,)),
         )

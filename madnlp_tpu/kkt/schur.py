@@ -75,7 +75,7 @@ class SchurKKT(DenseKKT):
         s_idx = p.n + np.arange(N * self.msi).reshape(N, self.msi)
         self.pcols = np.concatenate([v_idx, s_idx], axis=1)   # (N, blkp)
         self.d_idx = np.arange(N * nv, N * nv + nd)
-        self.ldl_block = min(self.opts.ldl_block_size, max(8, self.bs))
+        self.ldl_block = min(self.opts.ldl_block_size or 64, max(8, self.bs))
 
     def sys_size(self) -> int:
         return self.prob.nw + self.prob.m
@@ -164,7 +164,7 @@ class SchurKKT(DenseKKT):
             db=jnp.zeros((N, bsp), dt),
             G=jnp.zeros((N, bs, nd), dt),
             S_fac=EquilibratedFactor(
-                inner=ds.zero_factor(self.solver, nd, dt, self.opts.ldl_block_size),
+                inner=ds.zero_factor(self.solver, nd, dt, self.opts.ldl_block_size or 64),
                 d=jnp.ones((nd,)),
             ),
         )

@@ -167,7 +167,7 @@ class SparseKKT(DenseKKT):
             rows, cols, N,
             perm=self._band_ordering(),
             nparts=self.opts.arrow_nparts,
-            ldl_block=self.opts.ldl_block_size,
+            ldl_block=self.opts.ldl_block_size or 64,
         )
         # optional NamedSharding over the block axis: the batched block
         # factorizations run device-local and the Schur-complement einsum

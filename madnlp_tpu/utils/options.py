@@ -245,7 +245,9 @@ class MadNLPOptions:
     # formulation (Ghannad/Orban/Saunders; reference
     # src/KKT/Sparse/scaled_augmented.jl) expressed as an equilibration.
     filter_capacity: int = 128     # filter kept as a fixed-capacity array (jit)
-    ldl_block_size: int = 64       # block size of the blocked LDLᵀ kernel
+    ldl_block_size: Optional[int] = None  # block size of the blocked LDLᵀ
+    # kernel; None = auto (128 for KKT dimension >= 1024, else 64 — the
+    # measured optimum on the TPU MXU at nb=600 ACOPF scale)
     banded_block_size: int = 64    # block size of the block-banded LDLᵀ
     banded_backend: str = "auto"   # "auto" | "xla" | "pallas" — "auto" uses
     # the fused Pallas VMEM kernels (ops/pallas_banded.py) on TPU when the
