@@ -4,8 +4,8 @@ Primary metric: IPM iterations/second on a synthetic nb=600 (case1354-
 variable-count-scale) ACOPF (the reference's headline benchmark family,
 BASELINE.md) — fully-jitted solve to tol=1e-8 with mixed precision (f32
 factorization + Ruiz equilibration + f64 Richardson refinement; iteration
-counts identical to full f64).  Measured on this chip: 7.65 iter/s,
-15.8x the identical solve on the host CPU (nb=118 for comparison: 28.3
+counts identical to full f64).  Measured on this chip: 10.1 iter/s,
+16.1x the identical solve on the host CPU (nb=118 for comparison: 28.3
 iter/s, 4.0x — the MXU advantage grows with scale).
 
 ``vs_baseline`` is the measured wall-clock ratio of the *identical* solve
