@@ -82,10 +82,14 @@ class SparseKKT(DenseKKT):
         self.hc_order, self.hc_sorted = _sorted_scatter_map(hc)
         self.banded = opts.linear_solver == LinearSolver.BANDED
         self.arrow = opts.linear_solver == LinearSolver.BLOCK_ARROW
+        self.mf = opts.linear_solver == LinearSolver.MULTIFRONTAL
+        self.sparse_direct = self.banded or self.arrow or self.mf
         if self.banded:
             self._init_band_structure()
         elif self.arrow:
             self._init_arrow_structure()
+        elif self.mf:
+            self._init_nd_structure()
 
     def _hess_pattern(self):
         p = self.prob
@@ -212,10 +216,57 @@ class SparseKKT(DenseKKT):
         inner = arrow_factorize(ast, Ablk, C, Asep.astype(self.fact_dtype))
         return EquilibratedFactor(inner=inner, d=d)
 
+    # -- multifrontal backend (multilevel nested-dissection LDLᵀ) ------------
+
+    def _init_nd_structure(self):
+        from ..ops.ndtree import NDStructure
+
+        rows, cols, N = self._band_pattern()
+        self.ndstruct = NDStructure(
+            rows, cols, N,
+            perm=self._band_ordering(),
+            leaf_size=self.opts.nd_leaf_size,
+            ldl_block=self.opts.ldl_block_size or 64,
+            max_levels=self.opts.nd_max_levels,
+        )
+        fidx = self.ndstruct.map(rows, cols)
+        self.nd_order, self.nd_idx_sorted = _sorted_scatter_map(fidx)
+        self._nd_rows = jnp.asarray(rows)
+        self._nd_cols = jnp.asarray(cols)
+        self._nd_rowmap = _sorted_scatter_map(rows)
+        self._nd_colmap = _sorted_scatter_map(cols)
+
+    def _nd_factorize_coo(self, vals, d_analytic=None):
+        """Ruiz/K2.5 congruence scaling on the COO values, one fused sorted
+        scatter into the per-level front buffers, then the level-batched
+        multifrontal factorization (ops/ndtree.py)."""
+        from ..ops.ndtree import nd_factorize
+
+        nds = self.ndstruct
+        mode = self.opts.kkt_scaling
+        if mode == "k25" and d_analytic is not None:
+            d = d_analytic
+        elif mode == "ruiz":
+            d = ruiz_coo(
+                vals, self._nd_rows, self._nd_cols, nds.N,
+                row_map=self._nd_rowmap, col_map=self._nd_colmap,
+            )
+        else:
+            d = jnp.ones((nds.N,), vals.dtype)
+        sv = vals * d[self._nd_rows] * d[self._nd_cols]
+        bufs = nds.assemble(
+            self.nd_idx_sorted, sv[self.nd_order], sorted_indices=True
+        )
+        bufs = [b.astype(self.fact_dtype) for b in bufs]
+        inner = nd_factorize(nds, bufs)
+        return EquilibratedFactor(inner=inner, d=d)
+
     def _sparse_factorize_coo(self, vals, d_analytic=None):
         """Dispatch to the configured sparse direct factorization."""
         if self.arrow:
             return self._arrow_factorize_coo(vals, d_analytic)
+        if self.mf:
+            return self._nd_factorize_coo(vals, d_analytic)
         return self._banded_factorize_coo(vals, d_analytic)
 
     def _banded_factorize_coo(self, vals, d_analytic=None):
@@ -254,6 +305,13 @@ class SparseKKT(DenseKKT):
             scaled = (d * rhs).astype(self.fact_dtype)
             out = arrow_solve(self.astruct, factor.inner, scaled)
             return self._apply_smw(factor, d * out.astype(rhs.dtype))
+        if self.mf:
+            from ..ops.ndtree import nd_solve
+
+            d = factor.d if rhs.ndim == 1 else factor.d[:, None]
+            scaled = (d * rhs).astype(self.fact_dtype)
+            out = nd_solve(self.ndstruct, factor.inner, scaled)
+            return self._apply_smw(factor, d * out.astype(rhs.dtype))
         if not self.banded:
             return super()._backsolve(factor, rhs)
         d = factor.d if rhs.ndim == 1 else factor.d[:, None]
@@ -267,6 +325,10 @@ class SparseKKT(DenseKKT):
             from ..ops.blockarrow import arrow_inertia
 
             return arrow_inertia(self.astruct, ctx.factor.inner)
+        if self.mf:
+            from ..ops.ndtree import nd_inertia
+
+            return nd_inertia(self.ndstruct, ctx.factor.inner)
         if not self.banded:
             return super().inertia(ctx)
         return banded_inertia(self.bstruct, ctx.factor.inner)
@@ -277,11 +339,12 @@ class SparseKKT(DenseKKT):
             if self.lowrank
             else None
         )
-        if self.arrow:
+        if self.arrow or self.mf:
             p = self.prob
+            struct = self.astruct if self.arrow else self.ndstruct
             factor = EquilibratedFactor(
-                inner=self.astruct.zero_factor(self.fact_dtype),
-                d=jnp.ones((self.astruct.N,)),
+                inner=struct.zero_factor(self.fact_dtype),
+                d=jnp.ones((struct.N,)),
                 smw=zero_smw,
             )
             return KKTContext(
@@ -369,7 +432,7 @@ class SparseKKT(DenseKKT):
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
         hv = hess.diag if isinstance(hess, LowRankHessian) else hess
-        if self.banded or self.arrow:
+        if self.sparse_direct:
             vals = jnp.concatenate([pr_diag, du_diag, jac, hv])
             factor = self._sparse_factorize_coo(
                 vals, self._k25_scaling(dl, du_, p.m)
@@ -513,7 +576,7 @@ class SparseCondensedKKT(SparseKKT):
         D = self._diag_buffer(pr_diag, du_diag)
         jv = jac[: self.nnz_jac]  # model entries; slack tail excluded
         hv = hess.diag if isinstance(hess, LowRankHessian) else hess
-        if self.banded or self.arrow:
+        if self.sparse_direct:
             w = D[self.bpair_k] * jv[self.bpair_a] * jv[self.bpair_b]
             vals = jnp.concatenate([pr_diag[: p.n], hv, w])
             factor = self._sparse_factorize_coo(vals)

@@ -158,7 +158,7 @@ class SparseUnreducedKKT(SparseKKT):
             hess, jac, reg, du_diag, dl, du_, zl, zu
         )
         hv = hess  # quasi-Newton low-rank not supported for unreduced
-        if self.banded or self.arrow:
+        if self.sparse_direct:
             # value layout must match _band_pattern: diag, jac_ext, hess
             vals = jnp.concatenate(
                 [reg, du_diag, ldg, udg, jac, sl, su, hv]

@@ -148,6 +148,7 @@ def has_inertia(solver: LinearSolver) -> bool:
         LinearSolver.EVD,
         LinearSolver.BANDED,
         LinearSolver.BLOCK_ARROW,
+        LinearSolver.MULTIFRONTAL,
     )
 
 

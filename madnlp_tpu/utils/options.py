@@ -47,6 +47,10 @@ class LinearSolver(enum.Enum):
     BANDED = "banded"      # RCM + block-banded LDLᵀ (ops/banded.py) — the
     # sparse direct factorization: O(N·w²) flops, O(N·w) memory; requires a
     # sparse-callback KKT system (SPARSE / SPARSE_CONDENSED)
+    MULTIFRONTAL = "multifrontal"  # multilevel nested-dissection LDLᵀ
+    # (ops/ndtree.py): level-batched multifrontal method — fill-reducing
+    # general sparse factorization, O(N^1.5) flops on planar-ish graphs,
+    # exact inertia; the MUMPS/ma57 capability slot
 
 
 class InertiaCorrection(enum.Enum):
@@ -255,6 +259,9 @@ class MadNLPOptions:
     arrow_nparts: int = 0          # number of diagonal blocks of the
     # block-arrowhead factorization (0 = auto: p ≈ (N/w)^(3/5) balancing
     # block vs separator flops)
+    nd_leaf_size: int = 0          # target leaf size of the multifrontal
+    # nested-dissection tree (0 = auto: max(128, ldl_block_size))
+    nd_max_levels: int = 10        # depth cap of the dissection tree
 
     # -- derived helpers --------------------------------------------------
     def resolve(self, *, dense_callback: bool, m: int) -> "MadNLPOptions":
