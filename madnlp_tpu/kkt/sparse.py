@@ -555,6 +555,13 @@ class SparseCondensedKKT(SparseKKT):
         self.bpair_a = jnp.asarray(pa[keep])
         self.bpair_b = jnp.asarray(pb[keep])
         self.bpair_k = jnp.asarray(pk[keep])
+        # duplicate COO records (edge-local AD jacobians emit one record per
+        # edge) can pair two DISTINCT entries a≠b sharing one column: the
+        # product lands on the DIAGONAL of K, which the band symmetrization
+        # never mirrors — count those pairs twice to recover both orders of
+        # the full pair map (the dense path keeps both orders explicitly)
+        dup_diag = (pr[keep] == pc[keep]) & (pa[keep] != pb[keep])
+        self.bpair_w = jnp.asarray(np.where(dup_diag, 2.0, 1.0))
         diag = np.arange(p.n, dtype=np.int64)
         hr, hc = self._hess_pattern()
         rows_all = np.concatenate([diag, hr, pr[keep]])
@@ -577,7 +584,10 @@ class SparseCondensedKKT(SparseKKT):
         jv = jac[: self.nnz_jac]  # model entries; slack tail excluded
         hv = hess.diag if isinstance(hess, LowRankHessian) else hess
         if self.sparse_direct:
-            w = D[self.bpair_k] * jv[self.bpair_a] * jv[self.bpair_b]
+            w = (
+                self.bpair_w
+                * D[self.bpair_k] * jv[self.bpair_a] * jv[self.bpair_b]
+            )
             vals = jnp.concatenate([pr_diag[: p.n], hv, w])
             factor = self._sparse_factorize_coo(vals)
         else:

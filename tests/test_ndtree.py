@@ -167,13 +167,25 @@ def test_nd_f32_condensed_and_unreduced():
     ).solve()
     assert unr.status == Status.SOLVE_SUCCEEDED
     np.testing.assert_allclose(unr.solution, ref.solution, atol=1e-7)
-    # pure condensed system: structurally ill-conditioned at tight tol
-    # (same envelope as the banded backend, see test_banded_condensed)
     cnd = MadNLPSolver(
-        sparse_qp.build(n=150, m=40, n_eq=5),
+        model,
         kkt_system=KKTSystem.SPARSE_CONDENSED,
         linear_solver=LinearSolver.MULTIFRONTAL,
         nd_leaf_size=48,
-        tol=1e-6,
     ).solve()
     assert cnd.status == Status.SOLVE_SUCCEEDED
+    np.testing.assert_allclose(cnd.solution, ref.solution, atol=1e-5)
+
+
+def test_condensed_duplicate_jacobian_diagonal_pairs():
+    """Edge-local AD jacobians emit duplicate COO records; pairs of distinct
+    records sharing a column land on the condensed diagonal and must be
+    counted twice in the one-sided band/ND pair map (regression: the
+    sparse-direct condensed assembly dropped one order and diverged on OPF
+    at tol=1e-8 while dense CHOLESKY converged)."""
+    model = opf.build_sparse(nb=30, seed=0)
+    for lin in (LinearSolver.BANDED, LinearSolver.MULTIFRONTAL):
+        st = MadNLPSolver(
+            model, kkt_system=KKTSystem.SPARSE_CONDENSED, linear_solver=lin
+        ).solve()
+        assert st.status == Status.SOLVE_SUCCEEDED, lin
