@@ -242,14 +242,17 @@ class NLInfo:
         self.n_con = n_con
 
 
-def read_nl(path: str, objno: int = 0) -> DenseNLPModel:
-    """Parse a text-format ``.nl`` file into a :class:`DenseNLPModel`.
+class ParsedNL:
+    """Raw parse result of a text .nl file: expression graphs (nested-tuple
+    ASTs in prefix order), linear J/G segments, bounds, and initial points —
+    the input to both the dense compiler (:func:`read_nl`) and the sparse
+    template compiler (:mod:`madnlp_tpu.models.nl_sparse`)."""
 
-    The expression graphs become JAX-traceable callables; derivatives come
-    from JAX AD (reference ingests models through MOI.Nonlinear AD the same
-    way, ext/MadNLPMOI/MOI_wrapper.jl:1376-1561).  The returned model
-    carries an ``nl_info`` attribute for :func:`write_sol`.
-    """
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _parse_nl(path: str) -> ParsedNL:
     with open(path, "r") as f:
         lines = f.read().splitlines()
     if not lines:
@@ -278,8 +281,6 @@ def read_nl(path: str, objno: int = 0) -> DenseNLPModel:
     n_var, n_con, n_obj = int(hdr[0][0]), int(hdr[0][1]), int(hdr[0][2])
     if n_obj == 0:
         raise ValueError(f"{path}: no objective in model")
-    if objno >= n_obj:
-        raise ValueError(f"{path}: objno {objno} out of range ({n_obj} objectives)")
 
     s = _Stream(lines[idx:])
 
@@ -352,6 +353,50 @@ def read_nl(path: str, objno: int = 0) -> DenseNLPModel:
         else:
             raise ValueError(f"unknown .nl segment {tok!r}")
 
+    return ParsedNL(
+        path=path, header_opts=header_opts,
+        n_var=n_var, n_con=n_con, n_obj=n_obj,
+        con_expr=con_expr, obj_expr=obj_expr, obj_sense=obj_sense,
+        jac_lin=jac_lin, grad_lin=grad_lin,
+        lcon=lcon, ucon=ucon, lvar=lvar, uvar=uvar, x0=x0, y0=y0,
+        defined=defined,
+    )
+
+
+def read_nl(path: str, objno: int = 0, sparse: bool = False):
+    """Parse a text-format ``.nl`` file into an NLP model.
+
+    The expression graphs become JAX-traceable callables; derivatives come
+    from JAX AD (reference ingests models through MOI.Nonlinear AD the same
+    way, ext/MadNLPMOI/MOI_wrapper.jl:1376-1561).  The returned model
+    carries an ``nl_info`` attribute for :func:`write_sol`.
+
+    With ``sparse=True`` the expression graphs are compiled through the
+    template compiler (:mod:`madnlp_tpu.models.nl_sparse`) into a
+    :class:`SparseNLPModel` with exact Jacobian/Lagrangian-Hessian COO
+    sparsity and nnz-sized vmapped local AD — use this for large models so
+    the solver's sparse KKT formulations apply (the ExaModels-style path).
+    """
+    parsed = _parse_nl(path)
+    if objno >= parsed.n_obj:
+        raise ValueError(
+            f"{path}: objno {objno} out of range ({parsed.n_obj} objectives)")
+    if sparse:
+        from .nl_sparse import compile_sparse
+
+        model = compile_sparse(parsed, objno)
+    else:
+        model = _compile_dense(parsed, objno)
+    model.nl_info = NLInfo(parsed.header_opts, parsed.n_var, parsed.n_con)
+    return model
+
+
+def _compile_dense(parsed: ParsedNL, objno: int) -> DenseNLPModel:
+    n_var, n_con = parsed.n_var, parsed.n_con
+    con_expr, obj_expr = parsed.con_expr, parsed.obj_expr
+    jac_lin, grad_lin = parsed.jac_lin, parsed.grad_lin
+    defined = parsed.defined
+
     # ---- compile to JAX callables --------------------------------------
     # Linear parts as a dense matrix/vector (static, built host-side).
     A = np.zeros((n_con, n_var))
@@ -364,7 +409,7 @@ def read_nl(path: str, objno: int = 0) -> DenseNLPModel:
 
     defined_sorted = defined            # .nl guarantees definition-before-use order
     o_expr = obj_expr[objno]
-    maximize = obj_sense[objno] == 1
+    maximize = parsed.obj_sense[objno] == 1
 
     def _env(x):
         env = {i: x[i] for i in range(n_var)}
@@ -396,13 +441,12 @@ def read_nl(path: str, objno: int = 0) -> DenseNLPModel:
                 body = body + jnp.asarray(A, dtype=x.dtype) @ x
             return body
 
-    model = DenseNLPModel(
-        n=n_var, m=n_con, obj=obj, cons=cons, x0=x0,
-        lvar=lvar, uvar=uvar, lcon=lcon, ucon=ucon, y0=y0,
-        minimize=not maximize, name=path,
+    return DenseNLPModel(
+        n=n_var, m=n_con, obj=obj, cons=cons, x0=parsed.x0,
+        lvar=parsed.lvar, uvar=parsed.uvar, lcon=parsed.lcon,
+        ucon=parsed.ucon, y0=parsed.y0,
+        minimize=not maximize, name=parsed.path,
     )
-    model.nl_info = NLInfo(header_opts, n_var, n_con)
-    return model
 
 
 def _int_or_float(t: str):
@@ -481,11 +525,12 @@ def read_sol(path: str, n_var: int, n_con: int):
 # AMPL solver-executable entry point
 # --------------------------------------------------------------------------
 
-def solve_nl(path: str, sol_path: Optional[str] = None, **options):
+def solve_nl(path: str, sol_path: Optional[str] = None, sparse: bool = False,
+             **options):
     """Read ``path``, solve, optionally write the ``.sol`` next to it."""
     from ..ipm.solver import madnlp
 
-    model = read_nl(path)
+    model = read_nl(path, sparse=sparse)
     stats = madnlp(model, **options)
     if sol_path:
         write_sol(sol_path, stats, model)
@@ -513,7 +558,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if "=" in arg:
             k, v = arg.split("=", 1)
             options[k] = v
-    stats = solve_nl(nl_path, sol_path=base + ".sol", **options)
+    sparse = str(options.pop("sparse", "0")).lower() in ("1", "yes", "true")
+    stats = solve_nl(nl_path, sol_path=base + ".sol", sparse=sparse, **options)
     return 0 if stats.status.name in _SOLVE_RESULT else 1
 
 
