@@ -378,34 +378,34 @@ class MadNLPSolver:
         if self._solve_jit is None:
             kern = self.kernel
 
+            def cond(st):
+                return (
+                    (st.status == _i32(Status.REGULAR))
+                    | (st.status == _i32(Status.RESTORE))
+                    | (st.status == _i32(Status.ROBUST))
+                )
+
+            def body(st):
+                branch = jnp.where(
+                    st.status == _i32(Status.REGULAR), 0,
+                    jnp.where(st.status == _i32(Status.RESTORE), 1, 2),
+                )
+                return jax.lax.switch(
+                    branch,
+                    [kern.regular_step, kern.restore_step, kern.robust_step],
+                    st,
+                )
+
             def whole(theta):
-                st = kern.initialize(theta)
+                return jax.lax.while_loop(cond, body, kern.initialize(theta))
 
-                def cond(st):
-                    return (
-                        (st.status == _i32(Status.REGULAR))
-                        | (st.status == _i32(Status.RESTORE))
-                        | (st.status == _i32(Status.ROBUST))
-                    )
-
-                def body(st):
-                    branch = jnp.where(
-                        st.status == _i32(Status.REGULAR), 0,
-                        jnp.where(st.status == _i32(Status.RESTORE), 1, 2),
-                    )
-                    return jax.lax.switch(
-                        branch,
-                        [kern.regular_step, kern.restore_step, kern.robust_step],
-                        st,
-                    )
-
-                return jax.lax.while_loop(cond, body, st)
-
+            self._loop_cond, self._loop_body = cond, body
             self._whole_fn = whole
             self._solve_jit = jax.jit(whole)
         return self._whole_fn
 
-    def solve_batch(self, params_batch, sharding=None, chunk_size="auto"):
+    def solve_batch(self, params_batch, sharding=None, chunk_size="auto",
+                    probe_iters="auto"):
         """Solve a batch of same-structure instances with one ``vmap``-ed XLA
         computation — the analogue of cuDSS uniform batching
         (ext/MadNLPGPUCUDAExt/cudss.jl:139-148) lifted to the whole solver.
@@ -424,17 +424,30 @@ class MadNLPSolver:
         vmap (required when ``sharding`` splits the batch over devices —
         chunking would serialize the shards).
 
-        Returns the final batched :class:`State`; summary arrays via
-        :func:`batch_summary`."""
+        ``probe_iters``: when chunking, run this many bulk-synchronous
+        masked IPM steps for the *whole* batch first, sort instances by
+        their remaining error (inf_pr+inf_du+inf_compl+μ — a predictor of
+        iterations left), and continue each chunk from the probed states in
+        sorted order.  Stragglers then share chunks instead of stalling one
+        lane each, and the probe is real solver work, not a throwaway
+        prediction.  Runs fully inside one jit (traced argsort + gather, no
+        host round-trips).  ``"auto"`` = 3 when chunking, 0 disables.
+
+        Returns the final batched :class:`State` in the original instance
+        order; summary arrays via :func:`batch_summary`."""
         whole = self._build_solve_jit()
+        cond, body = self._loop_cond, self._loop_body
+        kern = self.kernel
+        B = jax.tree_util.tree_leaves(params_batch)[0].shape[0]
         if chunk_size == "auto":
-            B = jax.tree_util.tree_leaves(params_batch)[0].shape[0]
             if sharding is not None or B <= 16:
                 chunk_size = None
             else:
                 chunk_size = max(c for c in range(1, 17) if B % c == 0)
                 if chunk_size == 1:
                     chunk_size = None
+        if probe_iters == "auto":
+            probe_iters = 3 if chunk_size is not None else 0
         if sharding is not None:
             params_batch = jax.device_put(params_batch, sharding)
         if chunk_size is None:
@@ -442,27 +455,50 @@ class MadNLPSolver:
                 self._solve_batch_jit = jax.jit(jax.vmap(whole))
             fn = self._solve_batch_jit
         else:
-            key = ("chunked", chunk_size)
+            assert B % chunk_size == 0, (
+                "batch size must be a multiple of chunk_size"
+            )
+            key = ("chunked", chunk_size, probe_iters, B)
             if getattr(self, "_solve_batch_chunked", None) is None:
                 self._solve_batch_chunked = {}
             if key not in self._solve_batch_chunked:
-                self._solve_batch_chunked[key] = jax.jit(
-                    lambda pb: jax.lax.map(
-                        jax.vmap(whole),
-                        pb.reshape((-1, chunk_size) + pb.shape[1:]),
-                    )
-                )
 
-            def fn(pb):
-                assert pb.shape[0] % chunk_size == 0, (
-                    "batch size must be a multiple of chunk_size"
-                )
-                st = self._solve_batch_chunked[key](pb)
-                # explicit product (a "-1" reshape fails on zero-size leaves)
-                return jax.tree_util.tree_map(
-                    lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
-                    st,
-                )
+                def masked_step(_, st):
+                    active = jax.vmap(cond)(st)
+                    new = jax.vmap(body)(st)
+                    return jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(
+                            active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                        ),
+                        new, st,
+                    )
+
+                def chunked(pb):
+                    st = jax.vmap(kern.initialize)(pb)
+                    if probe_iters:
+                        st = jax.lax.fori_loop(0, probe_iters, masked_step, st)
+                        score = st.inf_pr + st.inf_du + st.inf_compl + st.mu
+                        order = jnp.argsort(score)
+                        st = jax.tree_util.tree_map(lambda a: a[order], st)
+                    # explicit chunk count (a "-1" reshape fails on 0-size leaves)
+                    st = jax.tree_util.tree_map(
+                        lambda a: a.reshape(
+                            (B // chunk_size, chunk_size) + a.shape[1:]), st)
+                    st = jax.lax.map(
+                        jax.vmap(
+                            lambda s: jax.lax.while_loop(cond, body, s)),
+                        st)
+                    # explicit product (a "-1" reshape fails on 0-size leaves)
+                    st = jax.tree_util.tree_map(
+                        lambda a: a.reshape(
+                            (a.shape[0] * a.shape[1],) + a.shape[2:]), st)
+                    if probe_iters:
+                        inv = jnp.argsort(order)
+                        st = jax.tree_util.tree_map(lambda a: a[inv], st)
+                    return st
+
+                self._solve_batch_chunked[key] = jax.jit(chunked)
+            fn = self._solve_batch_chunked[key]
 
         st = fn(params_batch)
         st.status.block_until_ready()
