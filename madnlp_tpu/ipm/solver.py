@@ -86,6 +86,12 @@ class MadNLPSolver:
             KKTSystem.DENSE_CONDENSED,
             KKTSystem.SCHUR,
         ):
+            if resolved.kkt_system == KKTSystem.SCHUR and schur_structure is None:
+                # structural detection needs the sparse pattern — run it
+                # before densification
+                from ..kkt.detect import detect_two_stage
+
+                schur_structure = detect_two_stage(model)
             # dense KKT systems consume the densified sparse model
             model = model.to_dense()
         self.model = model
@@ -123,8 +129,18 @@ class MadNLPSolver:
             self.opts = dataclasses.replace(self.opts, linear_solver=lin)
         if self.opts.kkt_system == KKTSystem.SCHUR:
             if schur_structure is None:
+                # reference analogue: explicit dims, or auto-detection from
+                # scenario tags (src/KKT/Schur/schur.jl:160-235); we also
+                # infer structurally from the sparse Jacobian pattern
+                from ..kkt.detect import detect_two_stage
+
+                schur_structure = detect_two_stage(model)
+            if schur_structure is None:
                 raise ValueError(
-                    "kkt_system=SCHUR requires schur_structure=TwoStageStructure(...)"
+                    "kkt_system=SCHUR requires schur_structure="
+                    "TwoStageStructure(...), a model with ExaModels-style "
+                    "scenario `tags`, or a sparse model whose Jacobian "
+                    "pattern exposes the two-stage blocks"
                 )
             from ..kkt.schur import SchurKKT
 

@@ -525,11 +525,18 @@ def read_sol(path: str, n_var: int, n_con: int):
 # AMPL solver-executable entry point
 # --------------------------------------------------------------------------
 
-def solve_nl(path: str, sol_path: Optional[str] = None, sparse: bool = False,
+def solve_nl(path: str, sol_path: Optional[str] = None, sparse="auto",
              **options):
-    """Read ``path``, solve, optionally write the ``.sol`` next to it."""
+    """Read ``path``, solve, optionally write the ``.sol`` next to it.
+
+    ``sparse``: ``True``/``False`` force the sparse/dense compiler;
+    ``"auto"`` (default, and what the AMPL executable uses) picks the
+    sparse template compiler once the model is big enough that dense
+    storage hurts (n ≥ 256)."""
     from ..ipm.solver import madnlp
 
+    if sparse == "auto":
+        sparse = _parse_nl(path).n_var >= 256
     model = read_nl(path, sparse=sparse)
     stats = madnlp(model, **options)
     if sol_path:
@@ -558,7 +565,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         if "=" in arg:
             k, v = arg.split("=", 1)
             options[k] = v
-    sparse = str(options.pop("sparse", "0")).lower() in ("1", "yes", "true")
+    sparse = str(options.pop("sparse", "auto")).lower()
+    if sparse != "auto":
+        sparse = sparse in ("1", "yes", "true")
     stats = solve_nl(nl_path, sol_path=base + ".sol", sparse=sparse, **options)
     return 0 if stats.status.name in _SOLVE_RESULT else 1
 
