@@ -64,3 +64,14 @@ def timing_madnlp(solver, ntrials: int = 10) -> dict:
     step = jax.jit(solver.kernel.regular_step)
     out["t_ipm_step"] = _avg(lambda: step(st), ntrials)
     return out
+
+
+def profile_solve(solver, trace_dir: str, params=None):
+    """Run one jitted solve under ``jax.profiler.trace`` — the device-level
+    analogue of the reference's ``@trace`` breadcrumb logger
+    (src/utils.jl:29-52): per-op device timelines viewable in
+    TensorBoard/Perfetto instead of host-side log lines (SURVEY.md §5)."""
+    solver._build_solve_jit()
+    with jax.profiler.trace(trace_dir):
+        stats = solver.solve_jitted(params=params)
+    return stats
