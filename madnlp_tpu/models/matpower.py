@@ -1,0 +1,438 @@
+"""MATPOWER / pglib-opf case front end.
+
+The reference's headline benchmarks are condensed-space IPM on pglib ACOPF
+cases (BASELINE.md; arXiv:2405.14236), which users load from MATPOWER
+``.m`` case files via PowerModels/ExaModels.  This module is the
+madnlp_tpu analogue: a standalone parser for the MATPOWER case format and
+ACOPF model builders producing either
+
+* :func:`build_acopf` with ``sparse=False`` — a :class:`DenseNLPModel`
+  whose power-flow evaluation is dense-Ybus complex arithmetic in
+  rectangular form (two MXU matmuls per evaluation), or
+* ``sparse=True`` — a :class:`SparseNLPModel` with **branch-local AD
+  derivatives** (the ExaModels SIMD-abstraction pattern): Jacobian and
+  Hessian values are vmapped 4-point gradients / 4x4 AD Hessians over the
+  branch list, nnz-sized evaluation with no dense AD anywhere.
+
+Formulation (polar, per-unit), matching MATPOWER's standard ACOPF:
+
+    min  sum_g cost_g(pg_g * baseMVA)
+    s.t. S_inj,i(V) + Ysh_i |V_i|^2 - (Sg - Sd)_i = 0        (2 nb rows)
+         |S_f(V)|^2 <= rate_a^2,  |S_t(V)|^2 <= rate_a^2     (per rated branch)
+         angmin <= va_f - va_t <= angmax                     (per limited branch)
+         VMIN <= vm <= VMAX, va_ref fixed, gen boxes
+
+with the full branch pi-model: tap ratio ``tau``, phase shift, line
+charging, bus shunts; out-of-service branches/gens removed.
+
+Reference parity: plays the role of the JuMP/MOI + PowerModels ingestion
+path (ext/MadNLPMOI/MOI_wrapper.jl:1376-1561 is the AD-ingestion seam in
+the reference; the pglib data format itself comes from MATPOWER).
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import DenseNLPModel, SparseNLPModel
+
+__all__ = ["parse_case", "build_acopf", "load_acopf"]
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+_ASSIGN_RE = re.compile(r"mpc\.(\w+)\s*=\s*", re.S)
+
+
+def _strip_comments(text: str) -> str:
+    return "\n".join(line.split("%", 1)[0] for line in text.splitlines())
+
+
+def _parse_matrix(body: str):
+    """Rows separated by ';' or newlines, numbers by whitespace/commas.
+    Returns a list of lists (possibly ragged, e.g. gencost)."""
+    rows = []
+    for chunk in re.split(r"[;\n]", body):
+        toks = [t for t in re.split(r"[,\s]+", chunk.strip()) if t]
+        if toks:
+            rows.append([float(t) for t in toks])
+    return rows
+
+
+def parse_case(source: str) -> dict:
+    """Parse MATPOWER case text (or a path to a ``.m`` file).
+
+    Returns ``{"baseMVA": float, "bus": (nb,13+) array, "gen": array,
+    "branch": array, "gencost": list-of-lists, "name": str}``.
+    """
+    if "\n" not in source and source.endswith(".m"):
+        with open(source) as f:
+            text = f.read()
+        name = source.rsplit("/", 1)[-1][:-2]
+    else:
+        text = source
+        m = re.search(r"function\s+mpc\s*=\s*(\w+)", text)
+        name = m.group(1) if m else "matpower_case"
+
+    text = _strip_comments(text)
+    case = {"name": name, "version": "2"}
+    for m in _ASSIGN_RE.finditer(text):
+        key = m.group(1)
+        rest = text[m.end():]
+        if rest.lstrip().startswith("["):
+            body = rest[rest.index("[") + 1 : rest.index("]")]
+            rows = _parse_matrix(body)
+            if key == "gencost":
+                case[key] = rows          # ragged: keep as list of lists
+            else:
+                width = min(len(r) for r in rows)
+                case[key] = np.array([r[:width] for r in rows], dtype=np.float64)
+        else:
+            tok = rest.split(";", 1)[0].strip().strip("'\"")
+            try:
+                case[key] = float(tok)
+            except ValueError:
+                case[key] = tok
+    for req in ("baseMVA", "bus", "gen", "branch"):
+        if req not in case:
+            raise ValueError(f"MATPOWER case missing mpc.{req}")
+    return case
+
+
+# --------------------------------------------------------------------------
+# Case -> per-unit arrays
+# --------------------------------------------------------------------------
+
+
+def _prepare(case: dict) -> dict:
+    """Normalize a parsed case into per-unit numpy arrays with 0-based
+    consecutive bus indices; drops out-of-service branches and gens."""
+    base = float(case["baseMVA"])
+    bus = np.asarray(case["bus"], dtype=np.float64)
+    gen = np.atleast_2d(np.asarray(case["gen"], dtype=np.float64))
+    branch = np.atleast_2d(np.asarray(case["branch"], dtype=np.float64))
+
+    nb = bus.shape[0]
+    bus_ids = bus[:, 0].astype(np.int64)
+    id2idx = {int(b): i for i, b in enumerate(bus_ids)}
+
+    # gens: drop status==0
+    if gen.shape[1] >= 8:
+        gen = gen[gen[:, 7] > 0]
+    gbus = np.array([id2idx[int(b)] for b in gen[:, 0]], dtype=np.int64)
+    ng = len(gbus)
+
+    # branches: drop status==0
+    if branch.shape[1] >= 11:
+        branch = branch[branch[:, 10] > 0]
+    fbus = np.array([id2idx[int(b)] for b in branch[:, 0]], dtype=np.int64)
+    tbus = np.array([id2idx[int(b)] for b in branch[:, 1]], dtype=np.int64)
+    r, x, bc = branch[:, 2], branch[:, 3], branch[:, 4]
+    ys = 1.0 / (r + 1j * x)
+    tap = branch[:, 8].copy() if branch.shape[1] > 8 else np.ones(len(fbus))
+    tap[tap == 0.0] = 1.0
+    shift = (
+        np.deg2rad(branch[:, 9]) if branch.shape[1] > 9 else np.zeros(len(fbus))
+    )
+    t = tap * np.exp(1j * shift)
+    ych = 1j * bc / 2.0
+    # standard MATPOWER pi-model admittances (makeYbus)
+    Yff = (ys + ych) / (t * np.conj(t))
+    Yft = -ys / np.conj(t)
+    Ytf = -ys / t
+    Ytt = ys + ych
+
+    rate_a = branch[:, 5] / base if branch.shape[1] > 5 else np.zeros(len(fbus))
+    if branch.shape[1] >= 13:
+        angmin = np.deg2rad(branch[:, 11])
+        angmax = np.deg2rad(branch[:, 12])
+    else:
+        angmin = np.full(len(fbus), -2 * np.pi)
+        angmax = np.full(len(fbus), 2 * np.pi)
+
+    # gencost -> per-gen polynomial coefficients of pg (per-unit), increasing
+    # power order (the baseMVA^k rescale is folded in host-side)
+    gencost = case.get("gencost")
+    if gencost is None:
+        C = np.zeros((ng, 2))
+        C[:, 1] = base  # default linear cost = Pg in MW
+    else:
+        rows = [gencost[i] for i in range(len(gencost))]
+        if len(rows) >= 2 * ng:
+            rows = rows[:ng]  # second block is reactive-power cost; ignored
+        elif len(rows) != ng:
+            # status filter removed gens: gencost rows track the original
+            # gen table order
+            keep = np.asarray(case["gen"], dtype=np.float64)
+            keep = keep[:, 7] > 0 if keep.shape[1] >= 8 else np.ones(len(rows), bool)
+            rows = [r for r, k in zip(rows, keep) if k]
+        K = 0
+        coefs = []
+        for row in rows:
+            model = int(row[0])
+            if model != 2:
+                raise ValueError(
+                    "only polynomial gencost (MODEL=2) is supported; "
+                    "piecewise-linear costs must be pre-converted"
+                )
+            ncoef = int(row[3])
+            c = np.array(row[4 : 4 + ncoef], dtype=np.float64)[::-1]  # inc. order
+            coefs.append(c)
+            K = max(K, len(c))
+        C = np.zeros((ng, max(K, 1)))
+        for g, c in enumerate(coefs):
+            # cost(pg_pu) = sum_k c_k (pg_pu * base)^k
+            C[g, : len(c)] = c * base ** np.arange(len(c))
+
+    ref = np.where(bus[:, 1] == 3)[0]
+    return dict(
+        base=base, nb=nb, ng=ng, gbus=gbus,
+        Pd=bus[:, 2] / base, Qd=bus[:, 3] / base,
+        gsh=bus[:, 4] / base, bsh=bus[:, 5] / base,
+        vm0=bus[:, 7], va0=np.deg2rad(bus[:, 8]),
+        vmax=bus[:, 11] if bus.shape[1] > 11 else np.full(nb, 1.1),
+        vmin=bus[:, 12] if bus.shape[1] > 12 else np.full(nb, 0.9),
+        pg0=gen[:, 1] / base, qg0=gen[:, 2] / base,
+        qmax=gen[:, 3] / base, qmin=gen[:, 4] / base,
+        pmax=gen[:, 8] / base, pmin=gen[:, 9] / base,
+        fbus=fbus, tbus=tbus,
+        Yff=Yff, Yft=Yft, Ytf=Ytf, Ytt=Ytt,
+        rate_a=rate_a, angmin=angmin, angmax=angmax,
+        ref=ref, cost_coefs=C, name=case.get("name", "matpower_case"),
+    )
+
+
+def _branch_consts(d):
+    """Real/imag parts of the four pi-model admittances, stacked (nl, 8)."""
+    return np.stack(
+        [np.real(d["Yff"]), np.imag(d["Yff"]),
+         np.real(d["Yft"]), np.imag(d["Yft"]),
+         np.real(d["Ytf"]), np.imag(d["Ytf"]),
+         np.real(d["Ytt"]), np.imag(d["Ytt"])], axis=1,
+    )
+
+
+def _branch_flows(z, c):
+    """Branch end flows (pf, pt, qf, qt) from z=(va_f, va_t, vm_f, vm_t)
+    and c=(gff,bff,gft,bft,gtf,btf,gtt,btt).
+
+    Sf = Vf conj(Yff Vf + Yft Vt), St = Vt conj(Ytf Vf + Ytt Vt)."""
+    vaf, vat, vmf, vmt = z
+    gff, bff, gft, bft, gtf, btf, gtt, btt = c
+    th = vaf - vat
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    vv = vmf * vmt
+    pf = vmf**2 * gff + vv * (gft * cth + bft * sth)
+    qf = -(vmf**2) * bff + vv * (gft * sth - bft * cth)
+    pt = vmt**2 * gtt + vv * (gtf * cth - btf * sth)
+    qt = -(vmt**2) * btt - vv * (gtf * sth + btf * cth)
+    return jnp.array([pf, pt, qf, qt])
+
+
+def _branch_s2(z, c):
+    """(|Sf|^2, |St|^2) for the thermal-limit rows."""
+    pf, pt, qf, qt = _branch_flows(z, c)
+    return jnp.array([pf**2 + qf**2, pt**2 + qt**2])
+
+
+def _poly_cols(C):
+    """Split polynomial coefficient matrix into value/derivative tables."""
+    K = C.shape[1]
+    pows = np.arange(K)
+    d1 = C * pows                      # coefficient of pg^(k-1)
+    d2 = C * pows * (pows - 1)         # coefficient of pg^(k-2)
+    return jnp.asarray(C), jnp.asarray(d1), jnp.asarray(d2), K
+
+
+def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True):
+    """Build the ACOPF NLP from a parsed case (see :func:`parse_case`)."""
+    d = _prepare(case)
+    nb, ng = d["nb"], d["ng"]
+    fbus, tbus = d["fbus"], d["tbus"]
+    nl = len(fbus)
+    consts = _branch_consts(d)
+
+    lim_sel = np.where(d["rate_a"] > 0)[0] if branch_limits else np.array([], int)
+    nlim = len(lim_sel)
+    ang_ok = (d["angmin"] > -np.pi) | (d["angmax"] < np.pi)
+    ang_sel = np.where(ang_ok)[0] if branch_limits else np.array([], int)
+    nang = len(ang_sel)
+
+    n = 2 * nb + 2 * ng
+    m = 2 * nb + 2 * nlim + nang
+
+    gbus = d["gbus"]
+    Cj, D1j, D2j, K = _poly_cols(d["cost_coefs"])
+    gsel = jnp.asarray(gbus)
+    Pdj, Qdj = jnp.asarray(d["Pd"]), jnp.asarray(d["Qd"])
+    gshj, bshj = jnp.asarray(d["gsh"]), jnp.asarray(d["bsh"])
+    fj, tj = jnp.asarray(fbus), jnp.asarray(tbus)
+    constsj = jnp.asarray(consts)
+    lim_f, lim_t = jnp.asarray(fbus[lim_sel]), jnp.asarray(tbus[lim_sel])
+    lim_c = jnp.asarray(consts[lim_sel])
+
+    def split(x):
+        return x[:nb], x[nb:2*nb], x[2*nb:2*nb+ng], x[2*nb+ng:]
+
+    def obj(x):
+        _, _, pg, _ = split(x)
+        # sum_g sum_k C[g,k] pg^k  (vectorized Horner-free polyval)
+        pk = pg[:, None] ** jnp.arange(K)
+        return jnp.sum(Cj * pk)
+
+    def branch_z(va, vm, f, t):
+        return jnp.stack([va[f], va[t], vm[f], vm[t]], axis=1)
+
+    vflows = jax.vmap(_branch_flows)
+    vs2 = jax.vmap(_branch_s2)
+
+    def cons(x):
+        va, vm, pg, qg = split(x)
+        flows = vflows(branch_z(va, vm, fj, tj), constsj)  # (nl, 4)
+        P = jnp.zeros(nb).at[fj].add(flows[:, 0]).at[tj].add(flows[:, 1])
+        Q = jnp.zeros(nb).at[fj].add(flows[:, 2]).at[tj].add(flows[:, 3])
+        P = P + gshj * vm**2
+        Q = Q - bshj * vm**2
+        Pg = jnp.zeros(nb).at[gsel].add(pg)
+        Qg = jnp.zeros(nb).at[gsel].add(qg)
+        out = [P - Pg + Pdj, Q - Qg + Qdj]
+        if nlim:
+            s2 = vs2(branch_z(va, vm, lim_f, lim_t), lim_c)   # (nlim, 2)
+            out.append(s2.reshape(-1))
+        if nang:
+            out.append(va[jnp.asarray(fbus[ang_sel])]
+                       - va[jnp.asarray(tbus[ang_sel])])
+        return jnp.concatenate(out)
+
+    # bounds
+    lvar = np.concatenate([np.full(nb, -2 * np.pi), d["vmin"],
+                           d["pmin"], d["qmin"]])
+    uvar = np.concatenate([np.full(nb, 2 * np.pi), d["vmax"],
+                           d["pmax"], d["qmax"]])
+    for rb in d["ref"]:
+        lvar[rb] = uvar[rb] = d["va0"][rb]
+    lcon = np.concatenate([np.zeros(2 * nb),
+                           np.full(2 * nlim, -np.inf),
+                           d["angmin"][ang_sel]])
+    ucon = np.concatenate([np.zeros(2 * nb),
+                           np.repeat(d["rate_a"][lim_sel] ** 2, 2),
+                           d["angmax"][ang_sel]])
+    # interleave sf2/st2 per branch: ucon rows are (sf2_0, st2_0, sf2_1, ...)
+    x0 = np.concatenate([
+        d["va0"],
+        np.clip(d["vm0"], d["vmin"] + 1e-4, d["vmax"] - 1e-4),
+        np.clip(d["pg0"], d["pmin"], d["pmax"]),
+        np.clip(d["qg0"], d["qmin"], d["qmax"]),
+    ])
+
+    name = d["name"]
+    if not sparse:
+        return DenseNLPModel(
+            n=n, m=m, obj=obj, cons=cons, x0=x0,
+            lvar=lvar, uvar=uvar, lcon=lcon, ucon=ucon,
+            name=f"acopf_{name}",
+        )
+
+    # ---- sparse structure (branch-local AD) ------------------------------
+    # balance-block jacobian: per-branch 4 outputs x 4 inputs
+    row_of_out = np.stack([fbus, tbus, nb + fbus, nb + tbus], axis=1)
+    col_of_in = np.stack([fbus, tbus, nb + fbus, nb + tbus], axis=1)
+    jac_rows = [np.repeat(row_of_out, 4, axis=1).reshape(-1)]
+    jac_cols = [np.tile(col_of_in, (1, 4)).reshape(-1)]
+    # bus-shunt diagonal d(P_i)/d(vm_i), d(Q_i)/d(vm_i)
+    jac_rows += [np.arange(nb), nb + np.arange(nb)]
+    jac_cols += [nb + np.arange(nb), nb + np.arange(nb)]
+    # generator columns (duplicate (row,col) pairs from multiple gens on one
+    # bus are accumulated by the assembly scatter-add)
+    jac_rows += [gbus, nb + gbus]
+    jac_cols += [2 * nb + np.arange(ng), 2 * nb + ng + np.arange(ng)]
+    if nlim:
+        lim_rows = 2 * nb + np.arange(2 * nlim).reshape(nlim, 2)
+        lim_cols = col_of_in[lim_sel]                      # (nlim, 4)
+        jac_rows += [np.repeat(lim_rows, 4, axis=1).reshape(-1)]
+        jac_cols += [np.tile(lim_cols, (1, 2)).reshape(-1)]
+    if nang:
+        ang_rows = 2 * nb + 2 * nlim + np.arange(nang)
+        jac_rows += [ang_rows, ang_rows]
+        jac_cols += [fbus[ang_sel], tbus[ang_sel]]
+    jac_rows = np.concatenate(jac_rows)
+    jac_cols = np.concatenate(jac_cols)
+
+    _jflow = jax.vmap(jax.jacfwd(_branch_flows))
+    _js2 = jax.vmap(jax.jacfwd(_branch_s2))
+
+    def jac_coords(x):
+        va, vm, pg, qg = split(x)
+        Jb = _jflow(branch_z(va, vm, fj, tj), constsj)     # (nl, 4, 4)
+        parts = [Jb.reshape(-1),
+                 2.0 * gshj * vm, -2.0 * bshj * vm,
+                 jnp.full((2 * ng,), -1.0)]
+        if nlim:
+            Jl = _js2(branch_z(va, vm, lim_f, lim_t), lim_c)  # (nlim, 2, 4)
+            parts.append(Jl.reshape(-1))
+        if nang:
+            parts.append(jnp.concatenate([jnp.ones(nang), -jnp.ones(nang)]))
+        return jnp.concatenate(parts)
+
+    # hessian: per-branch 4x4 lower triangles (balance + limit blocks),
+    # bus-shunt vm^2 diagonal, gen-cost pg^k diagonal
+    tril_i, tril_j = np.tril_indices(4)
+    def _tril_coords(var_of):
+        hr = var_of[:, tril_i]
+        hc = var_of[:, tril_j]
+        swap = hr < hc
+        return np.where(swap, hc, hr), np.where(swap, hr, hc)
+
+    hr_b, hc_b = _tril_coords(col_of_in)
+    hess_rows = [hr_b.reshape(-1), nb + np.arange(nb), 2 * nb + np.arange(ng)]
+    hess_cols = [hc_b.reshape(-1), nb + np.arange(nb), 2 * nb + np.arange(ng)]
+    if nlim:
+        hr_l, hc_l = _tril_coords(col_of_in[lim_sel])
+        hess_rows.append(hr_l.reshape(-1))
+        hess_cols.append(hc_l.reshape(-1))
+    hess_rows = np.concatenate(hess_rows)
+    hess_cols = np.concatenate(hess_cols)
+
+    def _wflow(z, c, w4):
+        return jnp.dot(w4, _branch_flows(z, c))
+
+    def _ws2(z, c, w2):
+        return jnp.dot(w2, _branch_s2(z, c))
+
+    _hflow = jax.vmap(jax.hessian(_wflow), in_axes=(0, 0, 0))
+    _hs2 = jax.vmap(jax.hessian(_ws2), in_axes=(0, 0, 0))
+
+    def hess_coords(x, y, obj_weight):
+        va, vm, pg, qg = split(x)
+        yP, yQ = y[:nb], y[nb:2*nb]
+        w4 = jnp.stack([yP[fj], yP[tj], yQ[fj], yQ[tj]], axis=1)
+        Hb = _hflow(branch_z(va, vm, fj, tj), constsj, w4)     # (nl,4,4)
+        node = 2.0 * (gshj * yP - bshj * yQ)
+        pk = pg[:, None] ** jnp.maximum(jnp.arange(K) - 2, 0)
+        gen = obj_weight * jnp.sum(D2j * pk, axis=1)
+        parts = [Hb[:, tril_i, tril_j].reshape(-1), node, gen]
+        if nlim:
+            yl = y[2*nb : 2*nb + 2*nlim].reshape(nlim, 2)
+            Hl = _hs2(branch_z(va, vm, lim_f, lim_t), lim_c, yl)
+            parts.append(Hl[:, tril_i, tril_j].reshape(-1))
+        return jnp.concatenate(parts)
+
+    return SparseNLPModel(
+        n=n, m=m, obj=obj, cons=cons, x0=x0,
+        jac_rows=jac_rows, jac_cols=jac_cols, jac_coords=jac_coords,
+        hess_rows=hess_rows, hess_cols=hess_cols, hess_coords=hess_coords,
+        lvar=lvar, uvar=uvar, lcon=lcon, ucon=ucon,
+        name=f"acopf_{name}_sparse",
+    )
+
+
+def load_acopf(path: str, sparse: bool = True, branch_limits: bool = True):
+    """Parse a MATPOWER ``.m`` file and build the ACOPF model."""
+    return build_acopf(parse_case(path), sparse=sparse,
+                       branch_limits=branch_limits)
