@@ -50,6 +50,13 @@ def solve_refine(solve_fn, mul_fn, b: KKTVec, max_iter: int, tol: float,
     init = (x0, b, jnp.zeros((), jnp.int32), inf0, inf0)
     x, w, ir, ratio, _ = jax.lax.while_loop(cond, body, init)
     converged = ratio < acceptable_tol
+    # Inconsistent-singular guard (madnlp_tpu addition): the reference's
+    # ratio is scale-invariant in ‖x‖, so a factorization of a singular K
+    # returning a near-null-space blow-up (‖x‖ huge, residual never
+    # reduced — e.g. a structurally rank-deficient Jacobian row that
+    # unpivoted LDLᵀ cannot flag, unlike the reference's MUMPS) would be
+    # accepted.  A genuine solve must at least reduce the residual.
+    converged = converged & (norm_inf(w) <= 0.999 * norm_b)
     # b == 0 -> x = 0 is exact (reference skips the loop in that case).
     converged = converged | (norm_b == 0.0)
     return x, converged, ir
@@ -87,5 +94,6 @@ def solve_gmres(solve_fn, mul_fn, b: KKTVec, max_iter: int, tol: float,
     r = KKTVec(*(bb - kk for bb, kk in zip(b, mul_fn(xk))))
     norm_b = norm_inf(b)
     ratio = norm_inf(r) / (jnp.minimum(norm_inf(xk), 1e6 * norm_b) + norm_b)
-    converged = (ratio < acceptable_tol) | (norm_b == 0.0)
+    converged = (ratio < acceptable_tol) & (norm_inf(r) <= 0.999 * norm_b)
+    converged = converged | (norm_b == 0.0)
     return xk, converged, jnp.asarray(max_iter, jnp.int32)
