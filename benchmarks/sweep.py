@@ -29,7 +29,11 @@ def sweep_single(sizes):
 
     rows = []
     for nb in sizes:
-        configs = [("dense", dict(), opf.build(nb=nb, seed=0))]
+        configs = [
+            ("dense", dict(), opf.build(nb=nb, seed=0)),
+            ("dense_hykkt", dict(linear_solver=LinearSolver.HYKKT),
+             opf.build(nb=nb, seed=0)),
+        ]
         sp = opf.build_sparse(nb=nb, seed=0)
         for name, lin in [
             ("banded", LinearSolver.BANDED),

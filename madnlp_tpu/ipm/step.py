@@ -450,7 +450,7 @@ class Kernel:
             reg = jnp.full((p.nw,), o.default_primal_regularization) + del_w
             du_diag = jnp.full((p.m,), -o.default_dual_regularization) - del_c
         return self.kkt.build_and_factorize(
-            st.hess, st.jac, reg, du_diag, dl, du_, st.zl, st.zu
+            st.hess, st.jac, reg, du_diag, dl, du_, st.zl, st.zu, rr=rr
         )
 
     def _next_del_w(self, n_trial, del_w, del_w_last):

@@ -33,6 +33,23 @@ class DenseCondensedKKT(DenseKKT):
         super().__init__(prob, opts)
         self.eq_sel = np.nonzero(~prob.ineq_mask)[0].astype(np.int64)
         self.n_eq = len(self.eq_sel)
+        from ..utils.options import LinearSolver
+
+        if opts.linear_solver in (
+            LinearSolver.BLOCK_CHOLESKY, LinearSolver.HYKKT
+        ):
+            # condensed matrix is [W̃ Aeᵀ; Ae Σd]: range-space split at n;
+            # with no equalities it is plain SPD — use Cholesky directly
+            self.solver = (
+                opts.linear_solver if self.n_eq else LinearSolver.CHOLESKY
+            )
+
+    def _split(self):
+        from ..utils.options import LinearSolver
+
+        if self.solver in (LinearSolver.BLOCK_CHOLESKY, LinearSolver.HYKKT):
+            return self.prob.n
+        return None
 
     # -- assembly + factorization -----------------------------------------
 
@@ -44,7 +61,7 @@ class DenseCondensedKKT(DenseKKT):
         return sigma_s / (1.0 - sigma_d * sigma_s)
 
     def build_and_factorize(
-        self, hess, jac, reg, du_diag, dl, du_, zl, zu
+        self, hess, jac, reg, du_diag, dl, du_, zl, zu, rr: bool = False
     ) -> KKTContext:
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
@@ -65,7 +82,7 @@ class DenseCondensedKKT(DenseKKT):
             )
         else:
             Kc = W
-        factor = self._factorize_matrix(Kc)
+        factor = self._factorize_matrix(Kc, split=self._split(), rr=rr)
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,

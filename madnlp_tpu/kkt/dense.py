@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..ops import dense_solvers as ds
 from ..ops.refine import solve_gmres, solve_refine
-from ..utils.options import MadNLPOptions
+from ..utils.options import LinearSolver, MadNLPOptions
 from .vec import KKTVec
 
 
@@ -72,6 +72,11 @@ class DenseKKT:
         self.prob = prob
         self.opts = opts
         self.solver = opts.linear_solver
+        if prob.m == 0 and self.solver in (
+            LinearSolver.BLOCK_CHOLESKY, LinearSolver.HYKKT
+        ):
+            # no dual block to eliminate — plain Cholesky is the same method
+            self.solver = LinearSolver.CHOLESKY
         # Mixed precision (the TPU strategy for emulated f64): factorize in
         # `opts.dtype`, keep the operator + Richardson refinement in f64.
         self.fact_dtype = jnp.dtype(opts.dtype)
@@ -82,7 +87,7 @@ class DenseKKT:
             sm = "trisolve" if _jax.default_backend() == "cpu" else "inverse"
         self.solve_mode = sm
 
-    def _factorize_matrix(self, K, d_analytic=None):
+    def _factorize_matrix(self, K, d_analytic=None, split=None, rr=False):
         """Factorize with a symmetric conditioning scaling D K D (congruence
         — preserves inertia by Sylvester's law).  IPM KKT matrices have
         diagonals spanning ~1/μ², which breaks the f32-factorize +
@@ -110,9 +115,15 @@ class DenseKKT:
         else:
             d = jnp.ones((K.shape[0],), K.dtype)
         Kf = (K * (d[:, None] * d[None, :])).astype(self.fact_dtype)
+        gamma = self.opts.hykkt_gamma
+        if gamma is None:
+            gamma = 1e4 if self.fact_dtype == jnp.float64 else 1e3
         inner = ds.factorize(
             Kf, self.solver, block=self.opts.ldl_block_size or 64,
-            solve_mode=self.solve_mode,
+            solve_mode=self.solve_mode, split=split, rr=rr,
+            gamma=gamma, cg_tol=self.opts.hykkt_cg_tol,
+            cg_maxiter=self.opts.hykkt_cg_maxiter,
+            hykkt_backend=self._hykkt_backend(),
         )
         return EquilibratedFactor(inner=inner, d=d)
 
@@ -178,6 +189,20 @@ class DenseKKT:
         """Dimension of the assembled matrix."""
         return self.prob.nw + self.prob.m
 
+    def _split(self):
+        """Primal/dual block boundary for the range-space factorizations."""
+        if self.solver in (LinearSolver.BLOCK_CHOLESKY, LinearSolver.HYKKT):
+            return self.prob.nw
+        return None
+
+    def _hykkt_backend(self) -> str:
+        be = self.opts.hykkt_backend
+        if be is None:
+            import jax as _jax
+
+            be = "native" if _jax.default_backend() == "cpu" else "ldl"
+        return be
+
     def zero_context(self) -> "KKTContext":
         """A structurally-correct all-zero context (factor shapes included) —
         used to seed the persisted per-iteration context in the State."""
@@ -185,7 +210,9 @@ class DenseKKT:
         N = self.sys_size()
         factor = EquilibratedFactor(
             inner=ds.zero_factor(
-                self.solver, N, self.fact_dtype, block=self.opts.ldl_block_size or 64
+                self.solver, N, self.fact_dtype,
+                block=self.opts.ldl_block_size or 64, split=self._split(),
+                hykkt_backend=self._hykkt_backend(),
             ),
             d=jnp.ones((N,)),
         )
@@ -218,7 +245,7 @@ class DenseKKT:
     # -- assembly + factorization -----------------------------------------
 
     def build_and_factorize(
-        self, hess, jac, reg, du_diag, dl, du_, zl, zu
+        self, hess, jac, reg, du_diag, dl, du_, zl, zu, rr: bool = False
     ) -> KKTContext:
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
@@ -231,7 +258,9 @@ class DenseKKT:
                 [jac, jnp.diag(du_diag)],
             ]
         ) if m > 0 else W
-        factor = self._factorize_matrix(K, self._k25_scaling(dl, du_, m))
+        factor = self._factorize_matrix(
+            K, self._k25_scaling(dl, du_, m), split=self._split(), rr=rr
+        )
         return KKTContext(
             hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag, reg=reg,
             dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,

@@ -126,7 +126,7 @@ class SchurKKT(DenseKKT):
 
     # -- assembly + factorization (schur.jl:927-1001) ----------------------
 
-    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu):
+    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu, rr=False):
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
         A, C, S0 = self._blocks(hess, jac, pr_diag, du_diag)

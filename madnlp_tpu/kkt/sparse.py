@@ -428,7 +428,7 @@ class SparseKKT(DenseKKT):
 
     # -- assembly ----------------------------------------------------------
 
-    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu):
+    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu, rr=False):
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
         hv = hess.diag if isinstance(hess, LowRankHessian) else hess
@@ -450,7 +450,10 @@ class SparseKKT(DenseKKT):
             K = K.at[self.hr, self.hc].add(hv)
             off = jnp.where(self.h_offdiag, hv, 0.0)
             K = K.at[self.hc, self.hr].add(off)
-            factor = self._factorize_matrix(K, self._k25_scaling(dl, du_, p.m))
+            factor = self._factorize_matrix(
+                K, self._k25_scaling(dl, du_, p.m), split=self._split(),
+                rr=rr,
+            )
         if isinstance(hess, LowRankHessian):
             factor = self._attach_smw(factor, hess)
         return KKTContext(
@@ -522,6 +525,14 @@ class SparseCondensedKKT(SparseKKT):
             "SparseCondensedKKT requires all constraints to be inequalities "
             "(use equality_treatment=RELAX / the SPARSE_CONDENSED preset)"
         )
+        from ..utils.options import LinearSolver as _LS
+
+        if self.solver in (_LS.BLOCK_CHOLESKY, _LS.HYKKT):
+            # the condensed matrix is plain SPD (no dual block)
+            self.solver = _LS.CHOLESKY
+
+    def _split(self):
+        return None
         # pair map over the *model* jacobian entries (slack entries excluded:
         # they enter D/Σs analytically) — built by the native C++ symbolic
         # module (madnlp_tpu/native/symbolic.cpp) with a numpy fallback
@@ -577,7 +588,7 @@ class SparseCondensedKKT(SparseKKT):
         sigma_d = du_diag  # all rows are inequalities
         return sigma_s / (1.0 - sigma_d * sigma_s)
 
-    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu):
+    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu, rr=False):
         p = self.prob
         pr_diag, du_diag = self.aug_diagonals(reg, du_diag, dl, du_, zl, zu)
         D = self._diag_buffer(pr_diag, du_diag)

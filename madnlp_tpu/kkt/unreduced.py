@@ -32,7 +32,7 @@ class DenseUnreducedKKT(DenseKKT):
         p = self.prob
         return 3 * p.nw + p.m
 
-    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu):
+    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu, rr=False):
         p = self.prob
         lb, ub = jnp.asarray(p.lb_mask), jnp.asarray(p.ub_mask)
         n, nw, m = p.n, p.nw, p.m
@@ -152,7 +152,7 @@ class SparseUnreducedKKT(SparseKKT):
         udg = jnp.where(ub, -du_, -1.0)
         return sl, su, ldg, udg
 
-    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu):
+    def build_and_factorize(self, hess, jac, reg, du_diag, dl, du_, zl, zu, rr=False):
         p = self.prob
         sl, su, ldg, udg = self._unreduced_parts(
             hess, jac, reg, du_diag, dl, du_, zl, zu

@@ -38,6 +38,26 @@ def test_linear_solver(linear_solver: LinearSolver, dtype=jnp.float64,
     (lib/MadNLPTests/src/MadNLPTests.jl:24-51)."""
     from .ops import dense_solvers as ds
 
+    if linear_solver in (LinearSolver.BLOCK_CHOLESKY, LinearSolver.HYKKT):
+        # range-space solvers factorize the 2x2 saddle structure: use a
+        # fixed quasidefinite [W Aᵀ; A -δ] system (split=2) instead
+        A = jnp.asarray(
+            [[1.0, 0.1, 1.0], [0.1, 2.0, -1.0], [1.0, -1.0, -1e-8]],
+            dtype=dtype,
+        )
+        b = jnp.asarray([1.0, 3.0, 0.5], dtype=dtype)
+        x_ref = np.linalg.solve(np.asarray(A, dtype=np.float64),
+                                np.asarray(b, dtype=np.float64))
+        factor = ds.factorize(A, linear_solver, split=2)
+        x = ds.solve(factor, b)
+        np.testing.assert_allclose(
+            np.asarray(x), x_ref, rtol=max(rtol, 1e-6), atol=1e-6
+        )
+        pos, zero, neg = ds.inertia(factor)
+        assert (int(pos), int(zero), int(neg)) == (2, 0, 1), (
+            f"{linear_solver}: wrong inertia for quasidefinite system"
+        )
+        return True
     A = jnp.asarray([[1.0, 0.1], [0.1, 2.0]], dtype=dtype)
     b = jnp.asarray([1.0, 3.0], dtype=dtype)
     x_ref = np.linalg.solve(np.asarray(A, dtype=np.float64),

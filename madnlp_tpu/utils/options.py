@@ -51,6 +51,21 @@ class LinearSolver(enum.Enum):
     # (ops/ndtree.py): level-batched multifrontal method — fill-reducing
     # general sparse factorization, O(N^1.5) flops on planar-ish graphs,
     # exact inertia; the MUMPS/ma57 capability slot
+    BLOCK_CHOLESKY = "block_cholesky"  # range-space 2x2 block elimination
+    # of the augmented system: cholesky(W+Σ) + cholesky of the dual Schur
+    # complement A(W+Σ)⁻¹Aᵀ − C — two native XLA Choleskys and one
+    # triangular multi-RHS solve, no sequential scalar loops; inertia by
+    # Cholesky success.  Requires W+Σ ≻ 0 (stricter than the KKT
+    # signature) and squares the conditioning in the dual block — for
+    # well-conditioned SPD-Hessian problems (QPs); prefer HYKKT otherwise
+    HYKKT = "hykkt"        # Golub–Greif γ-augmented hybrid (the HyKKT /
+    # "hybrid condensed" method of the reference's GPU ecosystem,
+    # arXiv:2405.14236): cholesky(W + Σ + γAᵀA), which is SPD exactly when
+    # the KKT signature is correct — Cholesky success is a *sound* inertia
+    # certificate even for indefinite W — then CG on the well-conditioned
+    # (cond → 1 as γ grows) dual Schur complement.  One native Cholesky +
+    # MXU GEMMs; the CG is an inner preconditioner under the f64
+    # iterative refinement
 
 
 class InertiaCorrection(enum.Enum):
@@ -262,6 +277,18 @@ class MadNLPOptions:
     nd_leaf_size: int = 0          # target leaf size of the multifrontal
     # nested-dissection tree (0 = auto: max(128, ldl_block_size))
     nd_max_levels: int = 10        # depth cap of the dissection tree
+    hykkt_gamma: Optional[float] = None  # γ of the HYKKT augmentation
+    # K_γ = W+γAᵀA (applied to the Ruiz-equilibrated matrix, whose rows are
+    # O(1); larger γ → better-conditioned dual CG but worse-conditioned
+    # Cholesky).  None = auto: 1e4 in f64, 1e3 in f32 (the f32 Cholesky
+    # stops being a usable preconditioner near cond ~ 1/sqrt(eps))
+    hykkt_cg_tol: float = 1e-8     # relative residual target of the dual CG
+    hykkt_cg_maxiter: int = 200    # CG iteration cap (loose: the CG is a
+    # preconditioner under the f64 iterative refinement)
+    hykkt_backend: Optional[str] = None  # "native" (XLA cholesky) |
+    # "ldl" (blocked LDLᵀ on K_γ; same SPD certificate) | None = auto:
+    # "ldl" on TPU — native cholesky at KKT sizes faults the device
+    # inside large whole-solver programs — "native" on CPU
 
     # -- derived helpers --------------------------------------------------
     def resolve(self, *, dense_callback: bool, m: int) -> "MadNLPOptions":

@@ -34,6 +34,20 @@ CONFIGS = [
     dict(kkt_system=KKTSystem.SPARSE_CONDENSED, tol=1e-6),
     dict(kkt_system=KKTSystem.DENSE, solve_mode="inverse", dtype="float32"),
     dict(kkt_system=KKTSystem.DENSE, kkt_scaling="k25", iterator="gmres"),
+    dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.BLOCK_CHOLESKY),
+    dict(
+        kkt_system=KKTSystem.DENSE_CONDENSED,
+        linear_solver=LinearSolver.BLOCK_CHOLESKY,
+        solve_mode="inverse",
+        dtype="float32",
+    ),
+    dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.HYKKT),
+    dict(
+        kkt_system=KKTSystem.DENSE_CONDENSED,
+        linear_solver=LinearSolver.HYKKT,
+        solve_mode="inverse",
+        dtype="float32",
+    ),
 ]
 
 

@@ -41,14 +41,25 @@ def make_ctx(model, solver=LinearSolver.LDL):
     )
     zl = jnp.where(jnp.asarray(prob.lb_mask), 1.0, 0.0)
     zu = jnp.where(jnp.asarray(prob.ub_mask), 1.0, 0.0)
-    reg = jnp.full((prob.nw,), 1.0)  # _set_aug_diagonal w/ unit regularization
     du_diag = jnp.zeros((prob.m,))
-    ctx = kkt.build_and_factorize(hess, jac, reg, du_diag, dl, du_, zl, zu)
+    # δ_w escalation like the IPM ladder: solvers whose inertia signal is
+    # "factorization success" (BLOCK_CHOLESKY) legitimately reject an
+    # indefinite W — the contract is "round-trips once inertia is correct"
+    for reg_val in (1.0, 10.0, 100.0, 1000.0):
+        reg = jnp.full((prob.nw,), reg_val)
+        ctx = kkt.build_and_factorize(hess, jac, reg, du_diag, dl, du_, zl, zu)
+        pos, zero, neg = kkt.inertia(ctx)
+        if not kkt.has_inertia() or bool(kkt.is_inertia_correct(pos, zero, neg)):
+            break
     return prob, kkt, ctx
 
 
 @pytest.mark.parametrize("model_fn", [hs15.build, lambda: dummy_qp.build(20, 5)])
-@pytest.mark.parametrize("solver", [LinearSolver.LDL, LinearSolver.EVD])
+@pytest.mark.parametrize(
+    "solver",
+    [LinearSolver.LDL, LinearSolver.EVD, LinearSolver.BLOCK_CHOLESKY,
+     LinearSolver.HYKKT],
+)
 def test_kkt_roundtrip(model_fn, solver):
     model = model_fn()
     prob, kkt, ctx = make_ctx(model, solver)

@@ -121,3 +121,49 @@ def test_ldlt_inside_jit_and_while_carry():
 
     x = run(A, b)
     np.testing.assert_allclose(np.asarray(A) @ np.asarray(x), np.asarray(b), rtol=1e-9)
+
+
+def test_block_cholesky_saddle():
+    """Range-space factorization of [W A'; A C] matches a direct solve and
+    reports the quasidefinite inertia (nw, 0, m)."""
+    rng = np.random.default_rng(7)
+    nw, m = 20, 6
+    W = random_symmetric(nw, seed=1, spd=True)
+    A = rng.standard_normal((m, nw))
+    C = -np.diag(rng.uniform(0.1, 1.0, m))
+    K = np.block([[W, A.T], [A, C]])
+    b = rng.standard_normal(nw + m)
+    for mode in ("trisolve", "inverse"):
+        f = ds.factorize(
+            jnp.asarray(K), LinearSolver.BLOCK_CHOLESKY, solve_mode=mode,
+            split=nw,
+        )
+        x = ds.solve(f, jnp.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(x), np.linalg.solve(K, b), rtol=1e-8, atol=1e-8
+        )
+        pos, zero, neg = ds.inertia(f)
+        assert (int(pos), int(zero), int(neg)) == (nw, 0, m)
+    # multi-RHS
+    B = rng.standard_normal((nw + m, 3))
+    X = ds.solve(f, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(K, B), rtol=1e-8, atol=1e-8)
+
+
+def test_block_cholesky_failure_modes():
+    rng = np.random.default_rng(3)
+    nw, m = 10, 4
+    A = rng.standard_normal((m, nw))
+    # indefinite W -> W-Cholesky fails -> inertia wrong (delta_w ladder)
+    W_bad = random_symmetric(nw, seed=2, spd=False) - 10 * np.eye(nw)
+    K1 = np.block([[W_bad, A.T], [A, np.zeros((m, m))]])
+    f1 = ds.factorize(jnp.asarray(K1), LinearSolver.BLOCK_CHOLESKY, split=nw)
+    pos, zero, neg = ds.inertia(f1)
+    assert int(pos) != nw or int(zero) != 0
+    # SPD W with rank-deficient A and C = 0 -> Schur singular -> zeros
+    W = random_symmetric(nw, seed=4, spd=True)
+    A_def = np.vstack([A[:3], A[2]])        # duplicated row
+    K2 = np.block([[W, A_def.T], [A_def, np.zeros((m, m))]])
+    f2 = ds.factorize(jnp.asarray(K2), LinearSolver.BLOCK_CHOLESKY, split=nw)
+    pos, zero, neg = ds.inertia(f2)
+    assert int(pos) == nw and int(zero) > 0

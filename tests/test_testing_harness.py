@@ -12,7 +12,8 @@ from madnlp_tpu.models.instances import dummy_qp
 @pytest.mark.parametrize(
     "solver",
     [LinearSolver.LDL, LinearSolver.CHOLESKY, LinearSolver.LU,
-     LinearSolver.QR, LinearSolver.EVD],
+     LinearSolver.QR, LinearSolver.EVD, LinearSolver.BLOCK_CHOLESKY,
+     LinearSolver.HYKKT],
 )
 def test_linear_solver_contract(solver):
     assert mt.test_linear_solver(solver)
