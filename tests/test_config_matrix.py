@@ -66,3 +66,19 @@ def test_config(cfg):
     np.testing.assert_allclose(
         stats.solution, ref.solution, atol=100 * np.sqrt(tol)
     )
+
+
+def test_hykkt_restoration_path():
+    """HYKKT's robust-restoration mode (direct dual elimination, no γ/CG)
+    must still drive the RR machinery: infeasibility is detected."""
+    import jax.numpy as jnp
+
+    from madnlp_tpu import create_model
+
+    inf_m = create_model(
+        obj=lambda x: x[0], cons=lambda x: jnp.array([x[0]]),
+        n=1, m=1, x0=[0.0], lvar=[1.0], lcon=[0.0], ucon=[0.5],
+    )
+    stats = madnlp(inf_m, print_level="error",
+                   linear_solver=LinearSolver.HYKKT)
+    assert stats.status == Status.INFEASIBLE_PROBLEM_DETECTED
