@@ -90,8 +90,29 @@ def _instance(nb: int, seed: int) -> dict:
     )
 
 
-def build(nb: int = 118, seed: int = 0, parametric: bool = False):
-    """Returns a DenseNLPModel with n = 2·nb + 2·ng variables."""
+def build(nb: int = 118, seed: int = 0, parametric: bool = False,
+          analytic: bool = True):
+    """Returns a DenseNLPModel with n = 2·nb + 2·ng variables.
+
+    ``analytic=True`` installs closed-form polar power-flow derivatives
+    (the dSbus_dV / d2Sbus_dV2 formulas of the MATPOWER ecosystem, derived
+    via Wirtinger calculus): with S = diag(V)·conj(YV),
+
+        dS/dθ  = j·diag(V)·conj(diag(I) − Y·diag(V))
+        dS/dvm = diag(u)·conj(diag(I)) + diag(V)·conj(Y·diag(u))
+
+    and for T = Re[wᵀS] (w = yP − j·yQ the complex constraint weights),
+    T is bilinear in (V, V̄) so its only Wirtinger second derivative is
+    T_{V V̄} = N/2 with N = diag(w)·conj(Y) + Yᴴ·diag(w̄), giving
+
+        H_θθ = 2Re[diag(V) Hc diag(V̄)] − 2 diag(Re[g∘V])
+        H_θv = −2Im[diag(V) Hc diag(ū)] − 2 diag(Im[g∘u])
+        H_vv = 2Re[diag(u) Hc diag(ū)]          (Hc = N/2, g = N V̄ / 2)
+
+    — a handful of O(nb²) elementwise complex ops instead of nb-tangent
+    AD sweeps (the Jacobian/Hessian evaluations were ~30% of the on-chip
+    IPM iteration before this).  Verified against the AD derivatives in
+    tests/test_opf.py."""
     data = _instance(nb, seed)
     Y = data["Y"]
     ng, gen_bus = data["ng"], data["gen_bus"]
@@ -161,12 +182,78 @@ def build(nb: int = 118, seed: int = 0, parametric: bool = False):
 
     x0 = np.concatenate([np.zeros(nb), np.ones(nb), pg0, qg0])
 
+    jac_fn = lag_hess_fn = None
+    if analytic:
+        Yj = jnp.asarray(Y)
+        Yc = jnp.asarray(np.conj(Y))
+        Yt = jnp.asarray(Y.T)   # N's second term is Mᴴ = (W·Ȳ)ᴴ = Yᵀ·W̄
+        gsel_np = gen_bus
+        # constant generator jacobian columns: dP_i/dpg_g = -1, dQ/dqg = -1
+        Jg = np.zeros((m, 2 * ng))
+        Jg[gsel_np, np.arange(ng)] = -1.0
+        Jg[nb + gsel_np, ng + np.arange(ng)] = -1.0
+        Jgj = jnp.asarray(Jg)
+
+        def _V(x):
+            va, vm, _, _ = split(x)
+            u = jnp.exp(1j * va.astype(jnp.complex128))
+            return vm * u, u
+
+        def jac_body(x):
+            V, u = _V(x)
+            I = Yj @ V
+            dS_dth = 1j * (
+                jnp.diag(V * jnp.conj(I)) - (V[:, None] * Yc) * jnp.conj(V)[None, :]
+            )
+            dS_dvm = jnp.diag(u * jnp.conj(I)) + (V[:, None] * Yc) * jnp.conj(u)[None, :]
+            Jv = jnp.concatenate(
+                [
+                    jnp.concatenate([jnp.real(dS_dth), jnp.real(dS_dvm)], axis=1),
+                    jnp.concatenate([jnp.imag(dS_dth), jnp.imag(dS_dvm)], axis=1),
+                ],
+                axis=0,
+            )
+            return jnp.concatenate([Jv, Jgj], axis=1)
+
+        def hess_body(x, y, obj_weight):
+            V, u = _V(x)
+            w = (y[:nb] - 1j * y[nb:]).astype(jnp.complex128)
+            N = w[:, None] * Yc + Yt * jnp.conj(w)[None, :]
+            g = 0.5 * (N @ jnp.conj(V))
+            Hc = 0.5 * N
+            VH = V[:, None] * Hc
+            Htt = 2.0 * jnp.real(VH * jnp.conj(V)[None, :]) - 2.0 * jnp.diag(
+                jnp.real(g * V)
+            )
+            Htv = -2.0 * jnp.imag(VH * jnp.conj(u)[None, :]) - 2.0 * jnp.diag(
+                jnp.imag(g * u)
+            )
+            Hvv = 2.0 * jnp.real((u[:, None] * Hc) * jnp.conj(u)[None, :])
+            top = jnp.concatenate([Htt, Htv], axis=1)
+            bot = jnp.concatenate([Htv.T, Hvv], axis=1)
+            Hv = jnp.concatenate([top, bot], axis=0)
+            H = jnp.zeros((n, n))
+            H = H.at[: 2 * nb, : 2 * nb].set(Hv)
+            idx = 2 * nb + jnp.arange(ng)
+            return H.at[idx, idx].set(2.0 * obj_weight * c2j)
+
+        if parametric:
+            # load scaling enters the constraints additively — derivatives
+            # are scale-independent
+            jac_fn = lambda x, p: jac_body(x)
+            lag_hess_fn = lambda x, y, ow, p: hess_body(x, y, ow)
+        else:
+            jac_fn = jac_body
+            lag_hess_fn = hess_body
+
     return DenseNLPModel(
         n=n,
         m=m,
         obj=obj,
         cons=cons,
         x0=x0,
+        jac=jac_fn,
+        lag_hess=lag_hess_fn,
         lvar=lvar,
         uvar=uvar,
         lcon=np.zeros(m),

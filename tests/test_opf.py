@@ -46,3 +46,29 @@ def test_acopf_multi_scenario_batch():
     assert (summ["status"] == int(Status.SOLVE_SUCCEEDED)).all()
     # heavier load -> more expensive generation
     assert np.all(np.diff(summ["objective"]) > 0)
+
+
+def test_analytic_derivatives_match_ad():
+    """The closed-form polar dSbus/d2Sbus derivatives must equal JAX AD to
+    machine precision, and produce the identical solve trajectory."""
+    import jax.numpy as jnp
+
+    ma = opf.build(nb=25, seed=3, analytic=True)
+    mr = opf.build(nb=25, seed=3, analytic=False)
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        x = jnp.asarray(mr.x0 + 0.1 * rng.standard_normal(mr.n))
+        y = jnp.asarray(rng.standard_normal(mr.m))
+        np.testing.assert_allclose(
+            np.asarray(ma.jac(x)), np.asarray(mr.jac(x)), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(ma.lag_hess(x, y, 0.7)),
+            np.asarray(mr.lag_hess(x, y, 0.7)),
+            atol=1e-11,
+        )
+    sa = madnlp(opf.build(nb=25, seed=3, analytic=True), print_level="error")
+    sr = madnlp(opf.build(nb=25, seed=3, analytic=False), print_level="error")
+    assert sa.status == Status.SOLVE_SUCCEEDED
+    assert sa.iter == sr.iter
+    assert sa.objective == pytest.approx(sr.objective, rel=1e-10)
