@@ -530,9 +530,6 @@ class SparseCondensedKKT(SparseKKT):
         if self.solver in (_LS.BLOCK_CHOLESKY, _LS.HYKKT):
             # the condensed matrix is plain SPD (no dual block)
             self.solver = _LS.CHOLESKY
-
-    def _split(self):
-        return None
         # pair map over the *model* jacobian entries (slack entries excluded:
         # they enter D/Σs analytically) — built by the native C++ symbolic
         # module (madnlp_tpu/native/symbolic.cpp) with a numpy fallback
@@ -547,6 +544,9 @@ class SparseCondensedKKT(SparseKKT):
         self.pair_b = jnp.asarray(pb)
         self.pair_k = jnp.asarray(pk)
         self.nnz_jac = len(rows)  # model entries (before slack augmentation)
+
+    def _split(self):
+        return None
 
     def _band_ordering(self):
         return None  # condensed matrix is SPD: plain RCM is stable

@@ -184,9 +184,11 @@ def build(nb: int = 118, seed: int = 0, parametric: bool = False,
 
     jac_fn = lag_hess_fn = None
     if analytic:
-        Yj = jnp.asarray(Y)
-        Yc = jnp.asarray(np.conj(Y))
-        Yt = jnp.asarray(Y.T)   # N's second term is Mᴴ = (W·Ȳ)ᴴ = Yᵀ·W̄
+        # real-arithmetic expansion of the complex formulas: the TPU
+        # backend has no complex128 support, so every complex matrix is
+        # carried as a (re, im) pair.  Notation below: V = e + jf,
+        # C[i,k] = V_i conj(V_k), S = P + jQ the bus injections.
+        Gm, Bm = jnp.asarray(np.real(Y)), jnp.asarray(np.imag(Y))
         gsel_np = gen_bus
         # constant generator jacobian columns: dP_i/dpg_g = -1, dQ/dqg = -1
         Jg = np.zeros((m, 2 * ng))
@@ -194,41 +196,64 @@ def build(nb: int = 118, seed: int = 0, parametric: bool = False,
         Jg[nb + gsel_np, ng + np.arange(ng)] = -1.0
         Jgj = jnp.asarray(Jg)
 
-        def _V(x):
+        def _parts(x):
             va, vm, _, _ = split(x)
-            u = jnp.exp(1j * va.astype(jnp.complex128))
-            return vm * u, u
+            cos, sin = jnp.cos(va), jnp.sin(va)
+            e, f = vm * cos, vm * sin
+            Ir = Gm @ e - Bm @ f
+            Ii = Gm @ f + Bm @ e
+            P = e * Ir + f * Ii
+            Q = f * Ir - e * Ii
+            Cr = e[:, None] * e[None, :] + f[:, None] * f[None, :]
+            Ci = f[:, None] * e[None, :] - e[:, None] * f[None, :]
+            return vm, e, f, P, Q, Cr, Ci
 
         def jac_body(x):
-            V, u = _V(x)
-            I = Yj @ V
-            dS_dth = 1j * (
-                jnp.diag(V * jnp.conj(I)) - (V[:, None] * Yc) * jnp.conj(V)[None, :]
-            )
-            dS_dvm = jnp.diag(u * jnp.conj(I)) + (V[:, None] * Yc) * jnp.conj(u)[None, :]
+            vm, e, f, P, Q, Cr, Ci = _parts(x)
+            # dS/dθ = j·diag(V)·conj(diag(I) − Y diag(V)):
+            #   dP/dθ = diag(-Q) + (Ci∘G − Cr∘B)
+            #   dQ/dθ = diag(P)  − (Cr∘G + Ci∘B)
+            CrG_CiB = Cr * Gm + Ci * Bm
+            CiG_CrB = Ci * Gm - Cr * Bm
+            dP_dth = jnp.diag(-Q) + CiG_CrB
+            dQ_dth = jnp.diag(P) - CrG_CiB
+            # dS/dvm = diag(u conj I) + diag(V) conj(Y diag(u)), u = V/vm:
+            inv_vm = 1.0 / vm
+            dP_dvm = jnp.diag(P * inv_vm) + CrG_CiB * inv_vm[None, :]
+            dQ_dvm = jnp.diag(Q * inv_vm) + CiG_CrB * inv_vm[None, :]
             Jv = jnp.concatenate(
                 [
-                    jnp.concatenate([jnp.real(dS_dth), jnp.real(dS_dvm)], axis=1),
-                    jnp.concatenate([jnp.imag(dS_dth), jnp.imag(dS_dvm)], axis=1),
+                    jnp.concatenate([dP_dth, dP_dvm], axis=1),
+                    jnp.concatenate([dQ_dth, dQ_dvm], axis=1),
                 ],
                 axis=0,
             )
             return jnp.concatenate([Jv, Jgj], axis=1)
 
         def hess_body(x, y, obj_weight):
-            V, u = _V(x)
-            w = (y[:nb] - 1j * y[nb:]).astype(jnp.complex128)
-            N = w[:, None] * Yc + Yt * jnp.conj(w)[None, :]
-            g = 0.5 * (N @ jnp.conj(V))
-            Hc = 0.5 * N
-            VH = V[:, None] * Hc
-            Htt = 2.0 * jnp.real(VH * jnp.conj(V)[None, :]) - 2.0 * jnp.diag(
-                jnp.real(g * V)
+            vm, e, f, P, Q, Cr, Ci = _parts(x)
+            yP, yQ = y[:nb], y[nb:]
+            # Hc = N/2, N = diag(w)·conj(Y) + Yᵀ·diag(conj w), w = yP − j·yQ
+            Hcr = 0.5 * (
+                yP[:, None] * Gm - yQ[:, None] * Bm
+                + Gm.T * yP[None, :] - Bm.T * yQ[None, :]
             )
-            Htv = -2.0 * jnp.imag(VH * jnp.conj(u)[None, :]) - 2.0 * jnp.diag(
-                jnp.imag(g * u)
+            Hci = 0.5 * (
+                -(yQ[:, None] * Gm) - yP[:, None] * Bm
+                + Bm.T * yP[None, :] + Gm.T * yQ[None, :]
             )
-            Hvv = 2.0 * jnp.real((u[:, None] * Hc) * jnp.conj(u)[None, :])
+            # g = Hc·conj(V)
+            gr = Hcr @ e + Hci @ f
+            gi = Hci @ e - Hcr @ f
+            # Z[i,k] = V_i Hc[i,k] conj(V_k) = C∘Hc
+            ReZ = Cr * Hcr - Ci * Hci
+            ImZ = Cr * Hci + Ci * Hcr
+            inv_vm = 1.0 / vm
+            Htt = 2.0 * ReZ - 2.0 * jnp.diag(gr * e - gi * f)
+            Htv = -2.0 * ImZ * inv_vm[None, :] - 2.0 * jnp.diag(
+                (gr * f + gi * e) * inv_vm
+            )
+            Hvv = 2.0 * ReZ * (inv_vm[:, None] * inv_vm[None, :])
             top = jnp.concatenate([Htt, Htv], axis=1)
             bot = jnp.concatenate([Htv.T, Hvv], axis=1)
             Hv = jnp.concatenate([top, bot], axis=0)
