@@ -249,41 +249,58 @@ def _hykkt_solve(factor: DenseFactor, b):
     """Backsolve for the γ-augmented (CG) and condensed (direct) modes."""
     nw = factor.b.shape[0] - 4
     m = factor.n - nw
-    At = factor.b[:nw]                                  # Aᵀ (nw, m)
-    c = factor.b[nw]                                    # (m,)
+    fact_dtype = factor.b.dtype
+    # The CG (and the direct RR elimination) run in f64 with the reduced-
+    # precision factor as the inner K_γ⁻¹ application: the factor supplies
+    # the contraction, f64 keeps the Schur-complement arithmetic (which
+    # squares conditioning) from flooring the outer iterative refinement
+    # at the f32 noise level.
+    f64 = jnp.float64
+    At = factor.b[:nw].astype(f64)                      # Aᵀ (nw, m)
+    c = factor.b[nw].astype(f64)                        # (m,)
     is_rr = factor.b[nw + 3, 0] > 0.5
-    B1, B2 = b[:nw], b[nw:]
+    B1, B2 = b[:nw].astype(f64), b[nw:].astype(f64)
+
+    def kg(B):
+        return _hykkt_kg_solve(factor, B.astype(fact_dtype)).astype(f64)
 
     def cond_solve(_):
         dinv = 1.0 / jnp.where(c < 0, -c, 1.0)
-        dx = _hykkt_kg_solve(factor, B1 + At @ (dinv[:, None] * B2))
+        dx = kg(B1 + At @ (dinv[:, None] * B2))
         dy = dinv[:, None] * (At.T @ dx - B2)
-        return jnp.concatenate([dx, dy])
+        return jnp.concatenate([dx, dy]).astype(b.dtype)
 
     def cg_solve(_):
-        gamma = factor.b[nw + 1, 0]
+        gamma = factor.b[nw + 1, 0].astype(f64)
         cg_tol, cg_maxiter = factor.meta
         scal = 1.0 + gamma * c                          # > 0 by construction
         dvec = jnp.sqrt(scal)[:, None]
 
         b1g = B1 + gamma * (At @ B2)
-        z = _hykkt_kg_solve(factor, b1g)
+        z = kg(b1g)
         rhs_s = dvec * (At.T @ z - B2)                  # symmetrized rhs
 
         def S_op(v):
-            w = _hykkt_kg_solve(factor, At @ (dvec * v))
+            w = kg(At @ (dvec * v))
             return dvec * (At.T @ w) - c[:, None] * v
 
-        # multi-RHS CG; converges jointly, per-column step sizes
+        # multi-RHS CG; converges jointly, per-column step sizes.  The
+        # K_γ⁻¹ inside the operator runs at the factorization precision,
+        # so the reachable residual floor is ~eps(fact); clamp the target
+        # there and exit on stagnation — without this the loop runs to
+        # cg_maxiter every time once the floor is hit.
+        tol_eff = jnp.maximum(cg_tol, 64.0 * jnp.finfo(fact_dtype).eps)
         rs0 = jnp.sum(rhs_s * rhs_s, axis=0)
-        tol2 = (cg_tol * cg_tol) * jnp.maximum(rs0, jnp.finfo(b.dtype).tiny)
+        tol2 = (tol_eff * tol_eff) * jnp.maximum(rs0, jnp.finfo(f64).tiny)
 
         def cond(carry):
-            y, r, p, rs, it = carry
-            return (it < cg_maxiter) & jnp.any(rs > tol2)
+            y, r, p, rs, rs_prev, it = carry
+            active = jnp.any(rs > tol2)
+            stalled = jnp.all(rs > 0.25 * rs_prev)  # <2x residual/iter: floor
+            return (it < cg_maxiter) & active & ~((it > 3) & stalled)
 
         def body(carry):
-            y, r, p, rs, it = carry
+            y, r, p, rs, rs_prev, it = carry
             Ap = S_op(p)
             denom = jnp.sum(p * Ap, axis=0)
             alpha = jnp.where(
@@ -294,15 +311,17 @@ def _hykkt_solve(factor: DenseFactor, b):
             rs_new = jnp.sum(r * r, axis=0)
             beta = jnp.where(rs > 0, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
             p = r + beta[None, :] * p
-            return y, r, p, rs_new, it + 1
+            return y, r, p, rs_new, rs, it + 1
 
         y0 = jnp.zeros_like(rhs_s)
-        y, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (y0, rhs_s, rhs_s, rs0, jnp.zeros((), jnp.int32))
+        y, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (y0, rhs_s, rhs_s, rs0, jnp.full_like(rs0, jnp.inf),
+             jnp.zeros((), jnp.int32)),
         )
         dy = y / dvec                                   # un-symmetrize ỹ = D·dy
-        dx = _hykkt_kg_solve(factor, b1g - At @ (scal[:, None] * dy))
-        return jnp.concatenate([dx, dy])
+        dx = kg(b1g - At @ (scal[:, None] * dy))
+        return jnp.concatenate([dx, dy]).astype(b.dtype)
 
     return jax.lax.cond(is_rr, cond_solve, cg_solve, None)
 
