@@ -200,6 +200,17 @@ def _check_bound_qp(stats):
     np.testing.assert_allclose(stats.solution, [1.0, 1.0], atol=1e-6)
 
 
+def _check_chain(stats):
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    assert abs(stats.objective - 5.0685) < 2e-2  # COPS reference optimum
+
+
+def _check_elec(stats):
+    # Thomson N=15: global minimum ~ 80.6702 (local minima nearby)
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    assert 80.0 < stats.objective < 82.0
+
+
 BEHAVIOR_SUITE = {
     "hs15": (hs15.build, _check_hs15),
     "lootsma": (suite.lootsma, _check_lootsma),
@@ -208,7 +219,17 @@ BEHAVIOR_SUITE = {
     "unbounded": (suite.unbounded, _check_unbounded),
     "lp_issue75": (suite.lp_issue75, _check_lp_issue75),
     "bound_qp": (suite.bound_qp, _check_bound_qp),
+    # COPS-family structural variety (collocation chain, many small
+    # equalities); see models/instances/cops.py
+    "cops_chain": (lambda: _cops().chain(nh=50), _check_chain),
+    "cops_elec": (lambda: _cops().elec(np_=15, seed=0), _check_elec),
 }
+
+
+def _cops():
+    from .models.instances import cops
+
+    return cops
 
 
 def run_behavior_suite(exclude=(), **options):

@@ -38,4 +38,5 @@ def test_kkt_contract_custom_model():
 def test_behavior_suite_default():
     results = mt.run_behavior_suite(exclude=("eigmina",))  # eigmina is slow
     assert set(results) == {"hs15", "lootsma", "infeasible", "unbounded",
-                            "lp_issue75", "bound_qp"}
+                            "lp_issue75", "bound_qp", "cops_chain",
+                            "cops_elec"}
