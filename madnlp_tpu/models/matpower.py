@@ -250,8 +250,17 @@ def _poly_cols(C):
     return jnp.asarray(C), jnp.asarray(d1), jnp.asarray(d2), K
 
 
-def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True):
-    """Build the ACOPF NLP from a parsed case (see :func:`parse_case`)."""
+def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
+                analytic: bool = True):
+    """Build the ACOPF NLP from a parsed case (see :func:`parse_case`).
+
+    For the dense form, ``analytic=True`` installs closed-form polar
+    power-flow derivatives for the balance block (the dSbus_dV /
+    d2Sbus_dV2 formulas, valid for the general non-symmetric Ybus that
+    taps and phase shifters produce — see
+    ``instances/opf.py::build`` for the Wirtinger derivation) plus
+    branch-local AD for the thermal-limit rows; this replaces whole-model
+    AD sweeps with O(nb²) elementwise ops."""
     d = _prepare(case)
     nb, ng = d["nb"], d["ng"]
     fbus, tbus = d["fbus"], d["tbus"]
@@ -333,8 +342,124 @@ def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True):
 
     name = d["name"]
     if not sparse:
+        jac_fn = lag_hess_fn = None
+        if analytic:
+            # full complex Ybus (branches + bus shunts), host-side
+            Ybus = np.zeros((nb, nb), dtype=np.complex128)
+            np.add.at(Ybus, (fbus, fbus), d["Yff"])
+            np.add.at(Ybus, (fbus, tbus), d["Yft"])
+            np.add.at(Ybus, (tbus, fbus), d["Ytf"])
+            np.add.at(Ybus, (tbus, tbus), d["Ytt"])
+            Ybus[np.diag_indices(nb)] += d["gsh"] + 1j * d["bsh"]
+            Gm, Bm = jnp.asarray(np.real(Ybus)), jnp.asarray(np.imag(Ybus))
+            Jg = np.zeros((m, 2 * ng))
+            Jg[gbus, np.arange(ng)] = -1.0
+            Jg[nb + gbus, ng + np.arange(ng)] = -1.0
+            Jgj = jnp.asarray(Jg)
+            _, D1j, D2j, _ = _poly_cols(d["cost_coefs"])
+            _js2 = jax.vmap(jax.jacfwd(_branch_s2))
+
+            def _ws2(z, c, w2):
+                return jnp.dot(w2, _branch_s2(z, c))
+
+            _hs2 = jax.vmap(jax.hessian(_ws2), in_axes=(0, 0, 0))
+            lim_cols = (
+                jnp.asarray(
+                    np.stack([fbus, tbus, nb + fbus, nb + tbus], axis=1)[lim_sel]
+                ) if nlim else None
+            )
+            lim_rows = (
+                jnp.asarray(2 * nb + np.arange(2 * nlim).reshape(nlim, 2))
+                if nlim else None
+            )
+            ang_rows = 2 * nb + 2 * nlim + np.arange(nang)
+            Jang = np.zeros((m, n))
+            Jang[ang_rows, fbus[ang_sel]] = 1.0
+            Jang[ang_rows, tbus[ang_sel]] = -1.0
+            Jangj = jnp.asarray(Jang)
+
+            def _parts(x):
+                va, vm, _, _ = split(x)
+                cos, sin = jnp.cos(va), jnp.sin(va)
+                e, f = vm * cos, vm * sin
+                Ir = Gm @ e - Bm @ f
+                Ii = Gm @ f + Bm @ e
+                P = e * Ir + f * Ii
+                Q = f * Ir - e * Ii
+                Cr = e[:, None] * e[None, :] + f[:, None] * f[None, :]
+                Ci = f[:, None] * e[None, :] - e[:, None] * f[None, :]
+                return va, vm, e, f, P, Q, Cr, Ci
+
+            def jac_fn(x):
+                va, vm, e, f, P, Q, Cr, Ci = _parts(x)
+                CrG_CiB = Cr * Gm + Ci * Bm
+                CiG_CrB = Ci * Gm - Cr * Bm
+                inv_vm = 1.0 / vm
+                dP_dth = jnp.diag(-Q) + CiG_CrB
+                dQ_dth = jnp.diag(P) - CrG_CiB
+                dP_dvm = jnp.diag(P * inv_vm) + CrG_CiB * inv_vm[None, :]
+                dQ_dvm = jnp.diag(Q * inv_vm) + CiG_CrB * inv_vm[None, :]
+                Jbal = jnp.concatenate(
+                    [
+                        jnp.concatenate([dP_dth, dP_dvm], axis=1),
+                        jnp.concatenate([dQ_dth, dQ_dvm], axis=1),
+                    ],
+                    axis=0,
+                )
+                J = jnp.zeros((m, n))
+                J = J.at[: 2 * nb, : 2 * nb].set(Jbal)
+                J = J.at[:, 2 * nb :].set(Jgj)
+                if nlim:
+                    Jl = _js2(branch_z(va, vm, lim_f, lim_t), lim_c)
+                    J = J.at[lim_rows[:, :, None], lim_cols[:, None, :]].add(Jl)
+                if nang:
+                    J = J + Jangj
+                return J
+
+            def lag_hess_fn(x, y, obj_weight):
+                va, vm, e, f, P, Q, Cr, Ci = _parts(x)
+                yP, yQ = y[:nb], y[nb : 2 * nb]
+                Hcr = 0.5 * (
+                    yP[:, None] * Gm - yQ[:, None] * Bm
+                    + Gm.T * yP[None, :] - Bm.T * yQ[None, :]
+                )
+                Hci = 0.5 * (
+                    -(yQ[:, None] * Gm) - yP[:, None] * Bm
+                    + Bm.T * yP[None, :] + Gm.T * yQ[None, :]
+                )
+                gr = Hcr @ e + Hci @ f
+                gi = Hci @ e - Hcr @ f
+                ReZ = Cr * Hcr - Ci * Hci
+                ImZ = Cr * Hci + Ci * Hcr
+                inv_vm = 1.0 / vm
+                Htt = 2.0 * ReZ - 2.0 * jnp.diag(gr * e - gi * f)
+                Htv = -2.0 * ImZ * inv_vm[None, :] - 2.0 * jnp.diag(
+                    (gr * f + gi * e) * inv_vm
+                )
+                Hvv = 2.0 * ReZ * (inv_vm[:, None] * inv_vm[None, :])
+                top = jnp.concatenate([Htt, Htv], axis=1)
+                bot = jnp.concatenate([Htv.T, Hvv], axis=1)
+                H = jnp.zeros((n, n))
+                H = H.at[: 2 * nb, : 2 * nb].set(
+                    jnp.concatenate([top, bot], axis=0)
+                )
+                pg = split(x)[2]
+                pk = pg[:, None] ** jnp.maximum(jnp.arange(K) - 2, 0)
+                idx = 2 * nb + jnp.arange(ng)
+                H = H.at[idx, idx].set(
+                    obj_weight * jnp.sum(D2j * pk, axis=1)
+                )
+                if nlim:
+                    yl = y[2 * nb : 2 * nb + 2 * nlim].reshape(nlim, 2)
+                    Hl = _hs2(branch_z(va, vm, lim_f, lim_t), lim_c, yl)
+                    H = H.at[
+                        lim_cols[:, :, None], lim_cols[:, None, :]
+                    ].add(Hl)
+                return H
+
         return DenseNLPModel(
             n=n, m=m, obj=obj, cons=cons, x0=x0,
+            jac=jac_fn, lag_hess=lag_hess_fn,
             lvar=lvar, uvar=uvar, lcon=lcon, ucon=ucon,
             name=f"acopf_{name}",
         )

@@ -121,3 +121,29 @@ def test_pwl_cost_rejected():
     case["gencost"][0][0] = 1  # piecewise-linear model
     with pytest.raises(ValueError, match="polynomial"):
         matpower.build_acopf(case)
+
+
+def test_analytic_dense_derivatives_match_ad():
+    """Closed-form balance-block derivatives (general non-symmetric Ybus
+    with taps/shifts) + branch-local limit derivatives must equal AD."""
+    import jax.numpy as jnp
+
+    case = matpower.parse_case(CASE)
+    ma = matpower.build_acopf(case, sparse=False, analytic=True)
+    mr = matpower.build_acopf(case, sparse=False, analytic=False)
+    rng = np.random.default_rng(1)
+    for _ in range(2):
+        x = jnp.asarray(mr.x0 + 0.05 * rng.standard_normal(mr.n))
+        y = jnp.asarray(rng.standard_normal(mr.m))
+        np.testing.assert_allclose(
+            np.asarray(ma.jac(x)), np.asarray(mr.jac(x)), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(ma.lag_hess(x, y, 0.7)),
+            np.asarray(mr.lag_hess(x, y, 0.7)),
+            atol=1e-10,
+        )
+    sa = madnlp(ma, print_level="error")
+    sr = madnlp(mr, print_level="error")
+    assert sa.iter == sr.iter
+    assert sa.objective == pytest.approx(sr.objective, rel=1e-9)
