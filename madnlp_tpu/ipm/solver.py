@@ -224,7 +224,7 @@ class MadNLPSolver:
             rows = np.concatenate([p.nw + np.asarray(p.jac_rows_aug), hr])
             cols = np.concatenate([np.asarray(p.jac_cols_aug), hc])
             W = int(np.abs(iperm[rows] - iperm[cols]).max(initial=0))
-            b = self.opts.banded_block_size
+            b = self.opts.resolved_banded_block(N)
             w = (-(-W // b) + 1) * b  # block bandwidth in scalars
         except Exception:
             return fallback

@@ -125,7 +125,7 @@ class SparseKKT(DenseKKT):
     def _init_band_structure(self):
         rows, cols, N = self._band_pattern()
         self.bstruct = BandStructure(
-            rows, cols, N, block=self.opts.banded_block_size,
+            rows, cols, N, block=self.opts.resolved_banded_block(N),
             perm=self._band_ordering(),
         )
         band_idx = self.bstruct.map(rows, cols)
