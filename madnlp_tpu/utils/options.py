@@ -268,14 +268,15 @@ class MadNLPOptions:
     # kernel; None = auto (128 for KKT dimension >= 1024, else 64 — the
     # measured optimum on the TPU MXU at nb=600 ACOPF scale)
     banded_block_size: Optional[int] = None  # block size of the block-banded
-    # LDLᵀ; None = auto (128 for systems ≥ 1024, else 64 — measured on chip
-    # at nb=600 ACOPF: block 128 → 17.7 iter/s vs 64 → 16.2 vs 32 → 14.0;
-    # wider panels shorten the sequential block-column chain)
+    # LDLᵀ; None = auto (256 for systems ≥ 2048, 128 for ≥ 1024, else 64 —
+    # measured on chip at nb=600 ACOPF (N=2674): 32→14.0, 64→16.2,
+    # 128→17.7, 256→18.4, 512→16.4 iter/s; wider panels shorten the
+    # sequential block-column chain until panel compute dominates)
 
     def resolved_banded_block(self, N: int) -> int:
         b = self.banded_block_size
         if b is None:
-            return 128 if N >= 1024 else 64
+            return 256 if N >= 2048 else (128 if N >= 1024 else 64)
         return b
     banded_backend: str = "auto"   # "auto" | "xla" | "pallas" — "auto" uses
     # the fused Pallas VMEM kernels (ops/pallas_banded.py) on TPU when the
