@@ -213,6 +213,9 @@ class DenseKKT:
                 self.solver, N, self.fact_dtype,
                 block=self.opts.ldl_block_size or 64, split=self._split(),
                 hykkt_backend=self._hykkt_backend(),
+                solve_mode=self.solve_mode,
+                cg_tol=self.opts.hykkt_cg_tol,
+                cg_maxiter=self.opts.hykkt_cg_maxiter,
             ),
             d=jnp.ones((N,)),
         )

@@ -164,7 +164,13 @@ class SchurKKT(DenseKKT):
             db=jnp.zeros((N, bsp), dt),
             G=jnp.zeros((N, bs, nd), dt),
             S_fac=EquilibratedFactor(
-                inner=ds.zero_factor(self.solver, nd, dt, self.opts.ldl_block_size or 64),
+                inner=ds.zero_factor(
+                    self.solver, nd, dt, self.opts.ldl_block_size or 64,
+                    hykkt_backend=self._hykkt_backend(),
+                    solve_mode=self.solve_mode,
+                    cg_tol=self.opts.hykkt_cg_tol,
+                    cg_maxiter=self.opts.hykkt_cg_maxiter,
+                ),
                 d=jnp.ones((nd,)),
             ),
         )

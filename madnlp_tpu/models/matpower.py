@@ -164,14 +164,22 @@ def _prepare(case: dict) -> dict:
         C[:, 1] = base  # default linear cost = Pg in MW
     else:
         rows = [gencost[i] for i in range(len(gencost))]
-        if len(rows) >= 2 * ng:
-            rows = rows[:ng]  # second block is reactive-power cost; ignored
-        elif len(rows) != ng:
-            # status filter removed gens: gencost rows track the original
-            # gen table order
-            keep = np.asarray(case["gen"], dtype=np.float64)
-            keep = keep[:, 7] > 0 if keep.shape[1] >= 8 else np.ones(len(rows), bool)
+        # gencost tracks the ORIGINAL gen table: norig rows of P costs,
+        # optionally followed by norig rows of Q costs.  Split at norig
+        # FIRST, then apply the same status filter used on the gen table,
+        # so off-line gens never donate their cost rows to survivors.
+        orig = np.atleast_2d(np.asarray(case["gen"], dtype=np.float64))
+        norig = orig.shape[0]
+        keep = orig[:, 7] > 0 if orig.shape[1] >= 8 else np.ones(norig, bool)
+        if len(rows) >= 2 * norig:
+            rows = rows[:norig]  # drop the reactive-power cost block
+        if len(rows) == norig:
             rows = [r for r, k in zip(rows, keep) if k]
+        if len(rows) != ng:
+            raise ValueError(
+                f"gencost has {len(gencost)} rows for {norig} gens "
+                f"({ng} in service); expected norig or 2*norig rows"
+            )
         K = 0
         coefs = []
         for row in rows:
@@ -269,7 +277,12 @@ def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
 
     lim_sel = np.where(d["rate_a"] > 0)[0] if branch_limits else np.array([], int)
     nlim = len(lim_sel)
-    ang_ok = (d["angmin"] > -np.pi) | (d["angmax"] < np.pi)
+    # angmin=angmax=0 is MATPOWER's 'angle difference unconstrained'
+    # sentinel (caseformat doc) — exclude it, else every such branch gains
+    # a spurious va_f == va_t equality.
+    ang_ok = ((d["angmin"] > -np.pi) | (d["angmax"] < np.pi)) & ~(
+        (d["angmin"] == 0.0) & (d["angmax"] == 0.0)
+    )
     ang_sel = np.where(ang_ok)[0] if branch_limits else np.array([], int)
     nang = len(ang_sel)
 

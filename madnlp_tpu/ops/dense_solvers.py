@@ -55,30 +55,45 @@ jax.tree_util.register_pytree_node(
 
 
 def zero_factor(solver: LinearSolver, n: int, dtype, block: int = 64,
-                split: int = None, hykkt_backend: str = "native") -> DenseFactor:
-    """Structurally-correct zero factor (for pytree templates)."""
+                split: int = None, hykkt_backend: str = "native",
+                solve_mode: str = "trisolve", cg_tol: float = 1e-8,
+                cg_maxiter: int = 200) -> DenseFactor:
+    """Structurally-correct zero factor (for pytree templates).
+
+    The kind suffix and ``meta`` MUST mirror :func:`factorize` for the
+    same options: a template whose static pytree aux differs from the
+    real factor fails with a structure mismatch the moment it is carried
+    through a traced loop (ADVICE r1)."""
+    inv = solve_mode == "inverse"
     if solver == LinearSolver.BLOCK_CHOLESKY:
         nw = _bchol_split(n, split)
         return DenseFactor(
-            "bchol", jnp.zeros((nw, nw), dtype),
+            "bchol_inv" if inv else "bchol", jnp.zeros((nw, nw), dtype),
             jnp.zeros((n + 2, n - nw), dtype), n,
         )
     if solver == LinearSolver.HYKKT:
         nw = _bchol_split(n, split)
+        meta = (float(cg_tol), int(cg_maxiter))
         if hykkt_backend == "ldl":
             np_ = max(1, -(-nw // block)) * block
             return DenseFactor(
-                "hykkt_ldl", jnp.zeros((np_, np_ + 1), dtype),
-                jnp.zeros((nw + 4, n - nw), dtype), n, meta=(1e-8, 200),
+                "hykkt_ldl_inv" if inv else "hykkt_ldl",
+                jnp.zeros((np_, np_ + 1), dtype),
+                jnp.zeros((nw + 4, n - nw), dtype), n, meta=meta,
             )
         return DenseFactor(
-            "hykkt", jnp.zeros((nw, nw), dtype),
-            jnp.zeros((nw + 4, n - nw), dtype), n, meta=(1e-8, 200),
+            "hykkt_inv" if inv else "hykkt", jnp.zeros((nw, nw), dtype),
+            jnp.zeros((nw + 4, n - nw), dtype), n, meta=meta,
         )
     if solver == LinearSolver.LDL:
         np_ = max(1, -(-n // block)) * block
-        return DenseFactor("ldl", jnp.zeros((np_, np_), dtype), jnp.zeros((np_,), dtype), n)
+        return DenseFactor("ldl_inv" if inv else "ldl",
+                           jnp.zeros((np_, np_), dtype),
+                           jnp.zeros((np_,), dtype), n)
     if solver == LinearSolver.CHOLESKY:
+        if inv:
+            return DenseFactor("chol_inv", jnp.zeros((n, n), dtype),
+                               jnp.zeros((n, n), dtype), n)
         return DenseFactor("cholesky", jnp.zeros((n, n), dtype), jnp.zeros((0,), dtype), n)
     if solver == LinearSolver.LU:
         return DenseFactor("lu", jnp.zeros((n, n), dtype), jnp.zeros((n,), jnp.int32), n)
@@ -294,13 +309,17 @@ def _hykkt_solve(factor: DenseFactor, b):
         tol2 = (tol_eff * tol_eff) * jnp.maximum(rs0, jnp.finfo(f64).tiny)
 
         def cond(carry):
-            y, r, p, rs, rs_prev, it = carry
+            y, r, p, rs, slow, it = carry
             active = jnp.any(rs > tol2)
-            stalled = jnp.all(rs > 0.25 * rs_prev)  # <2x residual/iter: floor
-            return (it < cg_maxiter) & active & ~((it > 3) & stalled)
+            # exit on SUSTAINED stagnation only (3 consecutive slow
+            # iterations): a single <2x iteration is normal when cond(S)
+            # is moderately above ~9 (gamma clamped by 0.5/cmax during a
+            # delta_c ladder, or f32) and bailing there returns a step far
+            # from cg_tol, costing outer-refinement rejections (ADVICE r1)
+            return (it < cg_maxiter) & active & (slow < 3)
 
         def body(carry):
-            y, r, p, rs, rs_prev, it = carry
+            y, r, p, rs, slow, it = carry
             Ap = S_op(p)
             denom = jnp.sum(p * Ap, axis=0)
             alpha = jnp.where(
@@ -311,12 +330,14 @@ def _hykkt_solve(factor: DenseFactor, b):
             rs_new = jnp.sum(r * r, axis=0)
             beta = jnp.where(rs > 0, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
             p = r + beta[None, :] * p
-            return y, r, p, rs_new, rs, it + 1
+            stalled = jnp.all(rs_new > 0.25 * rs)       # <2x residual/iter
+            slow = jnp.where(stalled, slow + 1, 0)
+            return y, r, p, rs_new, slow, it + 1
 
         y0 = jnp.zeros_like(rhs_s)
         y, _, _, _, _, _ = jax.lax.while_loop(
             cond, body,
-            (y0, rhs_s, rhs_s, rs0, jnp.full_like(rs0, jnp.inf),
+            (y0, rhs_s, rhs_s, rs0, jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32)),
         )
         dy = y / dvec                                   # un-symmetrize ỹ = D·dy

@@ -147,3 +147,53 @@ def test_analytic_dense_derivatives_match_ad():
     sr = madnlp(mr, print_level="error")
     assert sa.iter == sr.iter
     assert sa.objective == pytest.approx(sr.objective, rel=1e-9)
+
+
+def _two_bus_case():
+    """Minimal in-service/off-line fixture exercising the gencost Q-block
+    and the angmin=angmax=0 'unconstrained' sentinel (ADVICE r1)."""
+    bus = np.array([
+        [1, 3, 0.0, 0.0, 0, 0, 1, 1.0, 0.0, 230, 1, 1.1, 0.9],
+        [2, 1, 50.0, 10.0, 0, 0, 1, 1.0, 0.0, 230, 1, 1.1, 0.9],
+    ])
+    gen = np.array([
+        [1, 40, 0, 30, -30, 1.0, 100, 1, 100, 0],
+        [2, 10, 0, 30, -30, 1.0, 100, 0, 100, 0],  # out of service
+    ])
+    branch = np.array([
+        # angmin = angmax = 0 -> angle difference UNCONSTRAINED (caseformat)
+        [1, 2, 0.01, 0.1, 0.02, 100, 100, 100, 0, 0, 1, 0, 0],
+    ])
+    gencost = [
+        [2, 0, 0, 2, 99.0, 0.0],  # P cost, gen 1 (survives)
+        [2, 0, 0, 2, 20.0, 0.0],  # P cost, gen 2 (off-line: must be dropped)
+        [2, 0, 0, 2, 1.0, 0.0],   # Q cost block (ignored)
+        [2, 0, 0, 2, 2.0, 0.0],
+    ]
+    return dict(baseMVA=100.0, bus=bus, gen=gen, branch=branch,
+                gencost=gencost, name="mini2")
+
+
+def test_angle_sentinel_unconstrained():
+    """angmin=angmax=0 must NOT produce a va_f==va_t equality row."""
+    case = _two_bus_case()
+    model = matpower.build_acopf(case, sparse=False)
+    # 2 buses, 1 gen, 1 rated branch, ZERO angle rows
+    assert model.m == 2 * 2 + 2 * 1
+
+
+def test_gencost_qblock_with_offline_gen():
+    """With a reactive-cost block AND an off-line gen, the survivor must
+    keep ITS cost row, not inherit the off-line gen's."""
+    case = _two_bus_case()
+    d = matpower._prepare(case)
+    assert d["ng"] == 1
+    # cost(pg_pu) = 99 * (pg_pu * 100): linear coefficient 9900, no offset
+    np.testing.assert_allclose(d["cost_coefs"][0], [0.0, 9900.0])
+
+
+def test_gencost_row_count_mismatch_rejected():
+    case = _two_bus_case()
+    case["gencost"] = case["gencost"][:3]  # neither norig nor 2*norig
+    with pytest.raises(ValueError, match="gencost"):
+        matpower._prepare(case)

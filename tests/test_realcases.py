@@ -1,0 +1,83 @@
+"""Validation on REAL standard test cases (VERDICT r1 item #1).
+
+Each case file under tests/data/ is the standard MATPOWER distribution
+data (reconstructed field-for-field; the reference's own benchmark corpus
+is pglib-opf, which derives from the same networks — /root/reference/
+README.md:59-68, docs/src/tutorials/gpu.md:11-12).  The assert anchors
+the whole solver externally: the MATPOWER-published AC-OPF optimal
+objectives below are the one ground truth available without network
+egress, and a single wrong digit anywhere in parser, model, derivatives,
+KKT assembly, factorization, or IPM moves the objective away from them.
+
+Published values (MATPOWER `runopf` results, widely reproduced):
+  case9    5296.69  $/hr
+  case14   8081.53  $/hr
+  case30    576.89  $/hr
+  case57  41737.79  $/hr
+  case118 129660.70 $/hr
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from madnlp_tpu import Status, madnlp
+from madnlp_tpu.models import matpower
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+# name -> (published objective $/hr, max IPM iterations allowed)
+# The iteration budget is a regression tripwire: published Ipopt/MadNLP
+# iteration counts on these cases sit in the 9-25 range, and a trajectory
+# regression (bad inertia handling, filter bug, scaling break) shows up
+# as an iteration blow-up long before it shows up as a wrong answer.
+CASES = {
+    "case9": (5296.69, 25),
+    "case14": (8081.53, 25),
+    "case30": (576.89, 40),
+    "case57": (41737.79, 30),
+    "case118": (129660.70, 35),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_real_case_published_objective(name):
+    obj_pub, max_iter = CASES[name]
+    case = matpower.parse_case(os.path.join(DATA, f"{name}.m"))
+    model = matpower.build_acopf(case, sparse=True)
+    stats = madnlp(model, print_level="error")
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    # tol=1e-8 KKT point vs published optimum: agreement to <1e-5 rel
+    # validates BOTH the data reconstruction and the solver
+    assert stats.objective == pytest.approx(obj_pub, rel=1e-5)
+    assert stats.iter <= max_iter
+
+
+def test_case118_sparse_dense_parity():
+    """Golden rule on the largest real case: the sparse branch-local
+    derivative path must reproduce the dense-AD trajectory exactly."""
+    case = matpower.parse_case(os.path.join(DATA, "case118.m"))
+    sp = madnlp(matpower.build_acopf(case, sparse=True), print_level="error")
+    dn = madnlp(
+        matpower.build_acopf(case, sparse=False, analytic=True),
+        print_level="error",
+    )
+    assert sp.status == Status.SOLVE_SUCCEEDED
+    assert sp.iter == dn.iter
+    assert sp.objective == pytest.approx(dn.objective, rel=1e-8)
+
+
+def test_case30_duals_recover_lmps():
+    """Sanity on multipliers: active-power balance duals (negated,
+    unscaled) are locational marginal prices, which at an interior
+    optimum must sit in the band spanned by the marginal generator
+    costs (case30 marginal costs are ~1-4 $/MWh at the optimum)."""
+    case = matpower.parse_case(os.path.join(DATA, "case30.m"))
+    model = matpower.build_acopf(case, sparse=True)
+    stats = madnlp(model, print_level="error")
+    nb = 30
+    # constraints are per-unit, objective $/hr -> $/MWh price = |y|/base
+    lmp = np.abs(np.asarray(stats.multipliers[:nb])) / case["baseMVA"]
+    assert lmp.min() > 0.5
+    assert lmp.max() < 10.0
