@@ -22,13 +22,17 @@ or from a shell / Pyomo ``SolverFactory``-style hook::
 Supported: minimize/maximize, nonlinear constraint/objective expressions
 (full smooth opcode set), linear J/G segments, ranges/equalities, variable
 bounds, primal/dual initial points, defined variables (common
-subexpressions, ``V`` segments), suffix skipping.  Not supported (clear
-errors): binary-format files, complementarity constraints, logical
-constraints, external functions, piecewise-linear terms.
+subexpressions, ``V`` segments), suffix skipping, and BOTH on-disk
+encodings — text (``g`` header) and binary (``b`` header, AMPL's default
+output: same segment grammar with native-endian 4-byte ints / 8-byte
+doubles as payloads and single-byte segment/node letters).  Not supported
+(clear errors): complementarity constraints, logical constraints,
+external functions, piecewise-linear terms, suffixes inside binary files.
 """
 
 from __future__ import annotations
 
+import struct
 import sys
 from typing import List, Optional, Tuple
 
@@ -107,7 +111,14 @@ def _reduce(f, args):
 
 
 # --------------------------------------------------------------------------
-# tokenizer — text .nl is one token/record per line, `#` starts a comment
+# source readers — one segment grammar, two on-disk encodings.
+#
+# Text: one token/record per line, `#` starts a comment.  Binary (AMPL's
+# default, `b` header): the SAME segment/expression structure — segment
+# letters and expression node letters stay single ASCII bytes (the ASL
+# reader shares one edag_peek switch across modes) — with the numeric
+# payloads as native binary: 4-byte ints, 8-byte doubles, 2-byte shorts
+# ('s' nodes) and 4-byte longs ('l' nodes); no newlines, no comments.
 # --------------------------------------------------------------------------
 
 class _Stream:
@@ -131,31 +142,164 @@ class _Stream:
         return tok
 
 
+class _TextSrc:
+    """Text-format record source (line tokens)."""
+
+    def __init__(self, lines: List[str]):
+        self._s = _Stream(lines)
+
+    def seg(self) -> Optional[Tuple[str, List[str]]]:
+        tok = self._s.next()
+        if tok is None:
+            return None
+        return tok[0], tok[1:].split()
+
+    def iv(self) -> Tuple[int, float]:            # (index, value) record
+        i, v = self._s.expect().split()
+        return int(i), float(v)
+
+    def int1(self) -> int:
+        return int(self._s.expect())
+
+    def count(self) -> int:                        # N-ary operand count
+        return int(self._s.expect())
+
+    def bound(self) -> Tuple[float, float]:
+        return _read_bound(self._s.expect())
+
+    def suffix(self, n: int) -> None:              # skip n (idx, val) records
+        for _ in range(n):
+            self._s.expect()
+
+    def expr_tok(self) -> Tuple[str, object]:
+        tok = self._s.expect()
+        c, rest = tok[0], tok[1:].strip()
+        if c in "nsl":                 # numeric / short / long constant
+            return "n", float(rest)
+        if c == "v":
+            return "v", int(rest)
+        if c == "o":
+            return "o", int(rest.split()[0])
+        return c, rest                 # f/h/garbage — _read_expr raises
+
+
+class _BinSrc:
+    """Binary-format record source (struct decoding over the payload that
+    follows the 10-line ASCII header)."""
+
+    def __init__(self, data: bytes, little_endian: bool = True):
+        self._d = data
+        self._p = 0
+        self._e = "<" if little_endian else ">"
+
+    def _chr(self) -> Optional[str]:
+        if self._p >= len(self._d):
+            return None
+        c = chr(self._d[self._p])
+        self._p += 1
+        return c
+
+    def _unpack(self, fmt: str, size: int):
+        if self._p + size > len(self._d):
+            raise ValueError("unexpected end of binary .nl payload")
+        v = struct.unpack_from(self._e + fmt, self._d, self._p)[0]
+        self._p += size
+        return v
+
+    def _int(self) -> int:
+        return self._unpack("i", 4)
+
+    def _dbl(self) -> float:
+        return self._unpack("d", 8)
+
+    # segment-header parameter counts, by segment letter
+    _SEG_NPARAMS = {"C": 1, "O": 2, "x": 1, "d": 1, "r": 0, "b": 0,
+                    "k": 1, "K": 1, "J": 2, "G": 2, "V": 3}
+
+    def seg(self) -> Optional[Tuple[str, List[str]]]:
+        c = self._chr()
+        if c is None:
+            return None
+        if c == "S":
+            raise NotImplementedError(
+                ".nl suffixes in BINARY files unsupported (suffix names are "
+                "writer-dependent strings); re-export in text mode"
+            )
+        if c in ("L", "F"):
+            return c, []               # main loop raises with a clear message
+        n = self._SEG_NPARAMS.get(c)
+        if n is None:
+            raise ValueError(f"unknown binary .nl segment {c!r}")
+        return c, [str(self._int()) for _ in range(n)]
+
+    def iv(self) -> Tuple[int, float]:
+        return self._int(), self._dbl()
+
+    def int1(self) -> int:
+        return self._int()
+
+    def count(self) -> int:
+        return self._int()
+
+    def bound(self) -> Tuple[float, float]:
+        code = self._chr()             # bound codes stay ASCII digit bytes
+        if code == "0":
+            return self._dbl(), self._dbl()
+        if code == "1":
+            return -np.inf, self._dbl()
+        if code == "2":
+            return self._dbl(), np.inf
+        if code == "3":
+            return -np.inf, np.inf
+        if code == "4":
+            v = self._dbl()
+            return v, v
+        if code == "5":
+            raise NotImplementedError(
+                ".nl complementarity constraints (bound code 5) unsupported"
+            )
+        raise ValueError(f"bad bound code in binary .nl: {code!r}")
+
+    def suffix(self, n: int) -> None:  # unreachable: seg() rejects 'S'
+        raise NotImplementedError(".nl suffixes in binary files unsupported")
+
+    def expr_tok(self) -> Tuple[str, object]:
+        c = self._chr()
+        if c == "n":
+            return "n", self._dbl()
+        if c == "s":                   # short int constant, 2 bytes
+            return "n", float(self._unpack("h", 2))
+        if c == "l":                   # long int constant, 4 bytes
+            return "n", float(self._int())
+        if c == "v":
+            return "v", self._int()
+        if c == "o":
+            return "o", self._int()
+        return c or "", ""             # f/h/EOF — _read_expr raises
+
+
 # --------------------------------------------------------------------------
 # expression graph: parse (prefix order) and evaluate (JAX-traceable)
 # --------------------------------------------------------------------------
 
-def _read_expr(s: _Stream):
+def _read_expr(src):
     """Read one prefix-order expression; returns a nested-tuple AST."""
-    tok = s.expect()
-    c, rest = tok[0], tok[1:].strip()
+    c, val = src.expr_tok()
     if c == "n":                       # numeric constant
-        return ("const", float(rest))
-    if c in "sl":                      # short/long int constant (rare in text)
-        return ("const", float(rest))
+        return ("const", float(val))
     if c == "v":                       # variable or defined-variable reference
-        return ("var", int(rest))
+        return ("var", int(val))
     if c == "o":
-        op = int(rest.split()[0])
+        op = int(val)
         if op in _NARY:
-            count = int(s.expect())
-            return (op, tuple(_read_expr(s) for _ in range(count)))
+            count = src.count()
+            return (op, tuple(_read_expr(src) for _ in range(count)))
         if op in _BINARY or op in _RELATIONAL or op in (5, 20, 21):
-            return (op, (_read_expr(s), _read_expr(s)))
+            return (op, (_read_expr(src), _read_expr(src)))
         if op in _UNARY or op == 34:
-            return (op, (_read_expr(s),))
+            return (op, (_read_expr(src),))
         if op == 35:                   # OPIFnl: if cond then e1 else e2
-            return (op, (_read_expr(s), _read_expr(s), _read_expr(s)))
+            return (op, (_read_expr(src), _read_expr(src), _read_expr(src)))
         raise NotImplementedError(
             f".nl opcode o{op} ({_OP_NAMES.get(op, 'unknown')}) is not "
             "supported (smooth NLP opcodes only)"
@@ -164,7 +308,7 @@ def _read_expr(s: _Stream):
         raise NotImplementedError(".nl external function calls (f) unsupported")
     if c == "h":
         raise NotImplementedError(".nl string arguments (h) unsupported")
-    raise ValueError(f"unexpected token in .nl expression: {tok!r}")
+    raise ValueError(f"unexpected token in .nl expression: {(c, val)!r}")
 
 
 def _eval_expr(node, env):
@@ -253,36 +397,47 @@ class ParsedNL:
 
 
 def _parse_nl(path: str) -> ParsedNL:
-    with open(path, "r") as f:
-        lines = f.read().splitlines()
-    if not lines:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if not raw:
         raise ValueError(f"{path}: empty file")
-    first = lines[0]
-    if first[:1] == "b":
-        raise NotImplementedError(
-            f"{path}: binary-format .nl (header 'b'); re-export in text mode "
-            "(AMPL option nl_comments/g; Pyomo writes text by default)"
-        )
-    if first[:1] != "g":
-        raise ValueError(f"{path}: not a .nl file (header {first[:10]!r})")
-    header_opts = [int(t) for t in first[1:].split("#", 1)[0].split()]
+    fmt = chr(raw[0])
+    if fmt not in ("g", "b"):
+        raise ValueError(f"{path}: not a .nl file (header {raw[:10]!r})")
 
-    # 9 further header lines of integers
-    hdr = []
-    idx = 1
-    while len(hdr) < 9 and idx < len(lines):
-        body = lines[idx].split("#", 1)[0].strip()
-        idx += 1
-        if body:
-            hdr.append([_int_or_float(t) for t in body.split()])
-    if len(hdr) < 9:
-        raise ValueError(f"{path}: truncated .nl header")
+    # The header is ASCII text in BOTH formats: the format line + 9 lines
+    # of integers.  For binary files the payload starts right after the
+    # 10th newline.
+    hdr_end = 0
+    for _ in range(10):
+        nl_pos = raw.find(b"\n", hdr_end)
+        if nl_pos < 0:
+            raise ValueError(f"{path}: truncated .nl header")
+        hdr_end = nl_pos + 1
+    hdr_lines = raw[:hdr_end].decode("ascii", "replace").splitlines()
+    first = hdr_lines[0]
+    header_opts = [int(t) for t in first[1:].split("#", 1)[0].split()]
+    hdr = [
+        [_int_or_float(t) for t in ln.split("#", 1)[0].split()]
+        for ln in hdr_lines[1:]
+    ]
 
     n_var, n_con, n_obj = int(hdr[0][0]), int(hdr[0][1]), int(hdr[0][2])
     if n_obj == 0:
         raise ValueError(f"{path}: no objective in model")
 
-    s = _Stream(lines[idx:])
+    if fmt == "b":
+        # header line 6 = (linear network vars, functions, arith, flags);
+        # arith is the ASL Arith_Kind: 1 = IEEE little-endian,
+        # 2 = IEEE big-endian (0 appears only in text files)
+        arith = int(hdr[5][2]) if len(hdr) > 5 and len(hdr[5]) > 2 else 1
+        if arith not in (0, 1, 2):
+            raise NotImplementedError(
+                f"{path}: non-IEEE binary .nl (arith={arith}) unsupported"
+            )
+        s = _BinSrc(raw[hdr_end:], little_endian=(arith != 2))
+    else:
+        s = _TextSrc(raw[hdr_end:].decode("latin-1").splitlines())
 
     con_expr = [None] * n_con
     obj_expr = [None] * n_obj
@@ -298,11 +453,10 @@ def _parse_nl(path: str) -> ParsedNL:
     defined = []                        # (index, [(var, coef)], expr) in file order
 
     while True:
-        tok = s.next()
-        if tok is None:
+        rec = s.seg()
+        if rec is None:
             break
-        c = tok[0]
-        rest = tok[1:].split()
+        c, rest = rec
         if c == "C":
             con_expr[int(rest[0])] = _read_expr(s)
         elif c == "O":
@@ -311,47 +465,41 @@ def _parse_nl(path: str) -> ParsedNL:
             obj_expr[i] = _read_expr(s)
         elif c == "x":
             for _ in range(int(rest[0])):
-                i_s, v_s = s.expect().split()
-                x0[int(i_s)] = float(v_s)
+                i, v = s.iv()
+                x0[i] = v
         elif c == "d":
             for _ in range(int(rest[0])):
-                i_s, v_s = s.expect().split()
-                y0[int(i_s)] = float(v_s)
+                i, v = s.iv()
+                y0[i] = v
         elif c == "r":
             for i in range(n_con):
-                lcon[i], ucon[i] = _read_bound(s.expect())
+                lcon[i], ucon[i] = s.bound()
         elif c == "b":
             for i in range(n_var):
-                lvar[i], uvar[i] = _read_bound(s.expect())
+                lvar[i], uvar[i] = s.bound()
         elif c in "kK":
             for _ in range(int(rest[0])):   # cumulative col counts — AD recovers
-                s.expect()
+                s.int1()
         elif c == "J":
             i, k = int(rest[0]), int(rest[1])
             for _ in range(k):
-                v_s, c_s = s.expect().split()
-                jac_lin[i].append((int(v_s), float(c_s)))
+                jac_lin[i].append(s.iv())
         elif c == "G":
             i, k = int(rest[0]), int(rest[1])
             for _ in range(k):
-                v_s, c_s = s.expect().split()
-                grad_lin[i].append((int(v_s), float(c_s)))
+                grad_lin[i].append(s.iv())
         elif c == "V":
-            vi, nlin, _where = int(rest[0]), int(rest[1]), rest[2]
-            lin = []
-            for _ in range(nlin):
-                v_s, c_s = s.expect().split()
-                lin.append((int(v_s), float(c_s)))
+            vi, nlin = int(rest[0]), int(rest[1])
+            lin = [s.iv() for _ in range(nlin)]
             defined.append((vi, lin, _read_expr(s)))
         elif c == "S":                  # suffix: skip n (index, value) records
-            for _ in range(int(rest[1])):
-                s.expect()
+            s.suffix(int(rest[1]))
         elif c == "L":
             raise NotImplementedError(".nl logical constraints (L) unsupported")
         elif c == "F":
             raise NotImplementedError(".nl imported functions (F) unsupported")
         else:
-            raise ValueError(f"unknown .nl segment {tok!r}")
+            raise ValueError(f"unknown .nl segment {(c, rest)!r}")
 
     return ParsedNL(
         path=path, header_opts=header_opts,
@@ -364,7 +512,8 @@ def _parse_nl(path: str) -> ParsedNL:
 
 
 def read_nl(path: str, objno: int = 0, sparse: bool = False):
-    """Parse a text-format ``.nl`` file into an NLP model.
+    """Parse a ``.nl`` file (text ``g`` or binary ``b`` format, auto-
+    detected from the header) into an NLP model.
 
     The expression graphs become JAX-traceable callables; derivatives come
     from JAX AD (reference ingests models through MOI.Nonlinear AD the same
@@ -389,6 +538,113 @@ def read_nl(path: str, objno: int = 0, sparse: bool = False):
         model = _compile_dense(parsed, objno)
     model.nl_info = NLInfo(parsed.header_opts, parsed.n_var, parsed.n_con)
     return model
+
+
+# --------------------------------------------------------------------------
+# binary mirror writer — re-encodes a parsed model in `b` format.  Used by
+# the round-trip tests to validate the binary reader (the text writer's
+# mirror, per the format note in "Writing .nl Files" that both encodings
+# share one segment grammar) and as a conversion tool for distributing
+# compact model files.
+# --------------------------------------------------------------------------
+
+def _emit_expr_bin(node, out: bytearray) -> None:
+    kind, payload = node
+    if kind == "const":
+        out += b"n" + struct.pack("<d", float(payload))
+    elif kind == "var":
+        out += b"v" + struct.pack("<i", int(payload))
+    else:
+        out += b"o" + struct.pack("<i", int(kind))
+        if kind in _NARY:
+            out += struct.pack("<i", len(payload))
+        for child in payload:
+            _emit_expr_bin(child, out)
+
+
+def _emit_bound_bin(lo: float, hi: float, out: bytearray) -> None:
+    if lo == hi:
+        out += b"4" + struct.pack("<d", lo)
+    elif np.isinf(lo) and np.isinf(hi):
+        out += b"3"
+    elif np.isinf(lo):
+        out += b"1" + struct.pack("<d", hi)
+    elif np.isinf(hi):
+        out += b"2" + struct.pack("<d", lo)
+    else:
+        out += b"0" + struct.pack("<dd", lo, hi)
+
+
+def write_nl_binary(path: str, parsed: ParsedNL) -> None:
+    """Write ``parsed`` back out as a binary-format (`b` header) .nl file."""
+    i4 = lambda v: struct.pack("<i", int(v))  # noqa: E731
+    d8 = lambda v: struct.pack("<d", float(v))  # noqa: E731
+    n_var, n_con, n_obj = parsed.n_var, parsed.n_con, parsed.n_obj
+    n_nlcon = sum(not _expr_is_zero(e) for e in parsed.con_expr)
+    n_nlobj = sum(not _expr_is_zero(e) for e in parsed.obj_expr)
+    nnz_j = sum(len(r) for r in parsed.jac_lin)
+    nnz_g = sum(len(r) for r in parsed.grad_lin)
+    opts = " ".join(str(o) for o in (parsed.header_opts or [3, 0, 1, 0]))
+    header = (
+        f"b{opts}\n"
+        f" {n_var} {n_con} {n_obj} 0 0\n"
+        f" {n_nlcon} {n_nlobj}\n"
+        " 0 0\n"
+        f" {n_var} {n_var} {n_var}\n"
+        " 0 0 1 1\n"          # linear net vars, funcs, ARITH(1=IEEE LE), flags
+        " 0 0 0 0 0\n"
+        f" {nnz_j} {nnz_g}\n"
+        " 0 0\n"
+        f" {len(parsed.defined)} 0 0 0 0\n"
+    ).encode("ascii")
+
+    out = bytearray()
+    for vi, lin, expr in parsed.defined:
+        out += b"V" + i4(vi) + i4(len(lin)) + i4(0)
+        for j, cj in lin:
+            out += i4(j) + d8(cj)
+        _emit_expr_bin(expr, out)
+    for i, e in enumerate(parsed.con_expr):
+        out += b"C" + i4(i)
+        _emit_expr_bin(e if e is not None else ("const", 0.0), out)
+    for i, e in enumerate(parsed.obj_expr):
+        out += b"O" + i4(i) + i4(parsed.obj_sense[i])
+        _emit_expr_bin(e if e is not None else ("const", 0.0), out)
+    if np.any(parsed.x0):
+        nz = [(i, v) for i, v in enumerate(parsed.x0) if v != 0.0]
+        out += b"x" + i4(len(nz))
+        for i, v in nz:
+            out += i4(i) + d8(v)
+    if np.any(parsed.y0):
+        nz = [(i, v) for i, v in enumerate(parsed.y0) if v != 0.0]
+        out += b"d" + i4(len(nz))
+        for i, v in nz:
+            out += i4(i) + d8(v)
+    if n_con:
+        out += b"r"
+        for lo, hi in zip(parsed.lcon, parsed.ucon):
+            _emit_bound_bin(lo, hi, out)
+    out += b"b"
+    for lo, hi in zip(parsed.lvar, parsed.uvar):
+        _emit_bound_bin(lo, hi, out)
+    for i, row in enumerate(parsed.jac_lin):
+        if row:
+            out += b"J" + i4(i) + i4(len(row))
+            for j, cj in row:
+                out += i4(j) + d8(cj)
+    for i, row in enumerate(parsed.grad_lin):
+        if row:
+            out += b"G" + i4(i) + i4(len(row))
+            for j, cj in row:
+                out += i4(j) + d8(cj)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(bytes(out))
+
+
+def convert_nl(src: str, dst: str) -> None:
+    """Re-encode a .nl file (either format) as binary-format ``dst``."""
+    write_nl_binary(dst, _parse_nl(src))
 
 
 def _compile_dense(parsed: ParsedNL, objno: int) -> DenseNLPModel:

@@ -15,46 +15,55 @@ from madnlp_tpu import (
 )
 from madnlp_tpu.models.instances import dummy_qp
 
+# (config, golden): golden=True configs are exact algebraic re-expressions
+# of the reference problem/system and MUST reproduce the reference
+# trajectory down to the iteration count — the reference's golden rule
+# (madnlp_dense.jl:8-53).  golden=False configs change the PROBLEM
+# (Lifted-KKT relaxes equalities; RelaxBound perturbs fixed-var bounds),
+# so only solution closeness is meaningful there.
 CONFIGS = [
-    dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.LDL),
-    dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.EVD),
-    dict(
+    (dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.LDL), True),
+    (dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.EVD), True),
+    (dict(
         kkt_system=KKTSystem.DENSE,
         linear_solver=LinearSolver.LU,
         inertia_correction_method=InertiaCorrection.FREE,
-    ),
-    dict(
+    ), True),
+    (dict(
         kkt_system=KKTSystem.DENSE_CONDENSED,
         inertia_correction_method=InertiaCorrection.IGNORE,
-    ),
-    dict(
+    ), True),
+    (dict(
         kkt_system=KKTSystem.DENSE_CONDENSED,
         fixed_variable_treatment=FixedVariableTreatment.RELAX_BOUND,
-    ),
-    dict(kkt_system=KKTSystem.SPARSE_CONDENSED, tol=1e-6),
-    dict(kkt_system=KKTSystem.DENSE, solve_mode="inverse", dtype="float32"),
-    dict(kkt_system=KKTSystem.DENSE, kkt_scaling="k25", iterator="gmres"),
-    dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.BLOCK_CHOLESKY),
-    dict(
+    ), False),
+    (dict(kkt_system=KKTSystem.SPARSE_CONDENSED, tol=1e-6), False),
+    (dict(kkt_system=KKTSystem.DENSE, solve_mode="inverse",
+          dtype="float32"), True),
+    (dict(kkt_system=KKTSystem.DENSE, kkt_scaling="k25",
+          iterator="gmres"), True),
+    (dict(kkt_system=KKTSystem.DENSE,
+          linear_solver=LinearSolver.BLOCK_CHOLESKY), True),
+    (dict(
         kkt_system=KKTSystem.DENSE_CONDENSED,
         linear_solver=LinearSolver.BLOCK_CHOLESKY,
         solve_mode="inverse",
         dtype="float32",
-    ),
-    dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.HYKKT),
-    dict(
+    ), True),
+    (dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.HYKKT), True),
+    (dict(
         kkt_system=KKTSystem.DENSE_CONDENSED,
         linear_solver=LinearSolver.HYKKT,
         solve_mode="inverse",
         dtype="float32",
-    ),
+    ), True),
 ]
 
 
-@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: "-".join(
+@pytest.mark.parametrize("cfg,golden", CONFIGS, ids=lambda c: "-".join(
     f"{k}={getattr(v, 'name', v)}" for k, v in c.items()
-))
-def test_config(cfg):
+) if isinstance(c, dict) else None)
+def test_config(cfg, golden):
     model = dummy_qp.build(25, 6, fixed_variables=[2], equality_cons=[1])
     ref = madnlp(dummy_qp.build(25, 6, fixed_variables=[2], equality_cons=[1]))
     stats = madnlp(model, **cfg)
@@ -66,6 +75,44 @@ def test_config(cfg):
     np.testing.assert_allclose(
         stats.solution, ref.solution, atol=100 * np.sqrt(tol)
     )
+    if golden:
+        # golden rule: identical trajectory, not merely a close answer
+        assert stats.iter == ref.iter, (cfg, stats.iter, ref.iter)
+        np.testing.assert_allclose(
+            stats.solution, ref.solution, atol=1e-6
+        )
+
+
+def test_no_retrace_after_first_iteration():
+    """Retrace guard (the analogue of the reference's zero-allocation
+    hot-loop asserts, madnlp_test.jl:212-235): neither the hosted
+    per-iteration driver nor the whole-solve jit may re-trace once warm —
+    a shape/static-arg regression shows up here as a cache-size bump,
+    not as a silent 100x slowdown."""
+    from madnlp_tpu import MadNLPSolver
+    import jax.numpy as jnp
+
+    model = dummy_qp.build_parametric(12, 3)
+    solver = MadNLPSolver(model)
+    q0 = jnp.zeros(12)
+    q1 = jnp.ones(12) * 0.3
+
+    solver.solve(params=q0)
+    sizes = {
+        name: getattr(solver, name)._cache_size()
+        for name in ("_init_fn", "_regular", "_restore", "_robust")
+    }
+    assert all(v <= 1 for v in sizes.values()), sizes
+    solver.state = None
+    solver.solve(params=q1)  # different values, same structure
+    for name, before in sizes.items():
+        after = getattr(solver, name)._cache_size()
+        assert after == before, (name, before, after)
+
+    solver.solve_jitted(params=q0)
+    assert solver._solve_jit._cache_size() == 1
+    solver.solve_jitted(params=q1)
+    assert solver._solve_jit._cache_size() == 1
 
 
 def test_hykkt_restoration_path():

@@ -217,11 +217,55 @@ def test_ampl_executable_cli(nl_file, tmp_path):
     np.testing.assert_allclose(primal, [1.5, 1.25], atol=1e-6)
 
 
-def test_binary_format_rejected(tmp_path):
-    p = tmp_path / "bin.nl"
-    p.write_text("b3 1 1 0\n 1 0 1 0 0\n")
-    with pytest.raises(NotImplementedError, match="binary"):
-        read_nl(str(p))
+@pytest.mark.parametrize("src_nl", [HS15_NL, LP_NL, DEFVAR_NL],
+                         ids=["hs15", "lp", "defvar"])
+def test_binary_roundtrip(nl_file, tmp_path, src_nl):
+    """Binary `b`-format reader (AMPL's default output): converting the
+    text file through the mirror writer and re-reading must reproduce the
+    model exactly — bounds, initial points, sense, and expression graphs
+    (evaluated at several points)."""
+    from madnlp_tpu.models.nl import convert_nl
+
+    tp = nl_file(src_nl)
+    bp = str(tmp_path / "model_bin.nl")
+    convert_nl(tp, bp)
+    assert open(bp, "rb").read(1) == b"b"
+    mt = read_nl(tp)
+    mb = read_nl(bp)
+    assert (mb.n, mb.m, mb.minimize) == (mt.n, mt.m, mt.minimize)
+    for name in ("x0", "y0", "lvar", "uvar", "lcon", "ucon"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(mb, name)), np.asarray(getattr(mt, name)))
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        x = jnp.asarray(rng.standard_normal(mt.n))
+        np.testing.assert_allclose(mb.obj(x), mt.obj(x), rtol=1e-14)
+        if mt.m:
+            np.testing.assert_allclose(mb.cons(x), mt.cons(x), rtol=1e-14)
+
+
+def test_binary_solve_parity(nl_file, tmp_path):
+    """Golden rule across encodings: the binary file must reproduce the
+    text file's trajectory exactly."""
+    from madnlp_tpu.models.nl import convert_nl
+
+    tp = nl_file(HS15_NL)
+    bp = str(tmp_path / "hs15_bin.nl")
+    convert_nl(tp, bp)
+    st_t = madnlp(read_nl(tp), print_level="ERROR")
+    st_b = madnlp(read_nl(bp), print_level="ERROR")
+    assert st_b.iter == st_t.iter
+    np.testing.assert_allclose(st_b.objective, st_t.objective, rtol=1e-12)
+
+
+def test_binary_sparse_compile(nl_file, tmp_path):
+    """The sparse template compiler accepts binary input too."""
+    from madnlp_tpu.models.nl import convert_nl
+
+    bp = str(tmp_path / "hs15s.nl")
+    convert_nl(nl_file(HS15_NL), bp)
+    stats = madnlp(read_nl(bp, sparse=True), print_level="ERROR")
+    assert stats.status.name == "SOLVE_SUCCEEDED"
 
 
 def test_unknown_opcode_rejected(nl_file):
