@@ -1422,7 +1422,22 @@ class Kernel:
         err_R = jnp.maximum(inf_pr_R, jnp.maximum(inf_du_R, inf_compl_R))
         status = _i32(S.ROBUST)
         status = jnp.where(st.k >= o.max_iter, _i32(S.MAXIMUM_ITERATIONS_EXCEEDED), status)
-        status = jnp.where(err_R <= o.tol, _i32(S.INFEASIBLE_PROBLEM_DETECTED), status)
+        # The restoration problem is solved (err_R <= tol, solver.jl:445).
+        # That certifies LOCAL INFEASIBILITY only if the point actually
+        # violates the constraints; entered at an (almost) feasible point —
+        # where theta_ref ~ 0 makes the go-back test below unsatisfiable —
+        # the honest exit is RESTORATION_FAILED.  Deliberate deviation from
+        # the reference, which returns INFEASIBLE unconditionally here and
+        # can thereby report "locally infeasible" at a point with
+        # ||c|| ~ 1e-16 (degenerate over-determined equalities); Ipopt's
+        # own guard aborts restoration called at an almost-feasible point.
+        resto_done = err_R <= o.tol
+        status = jnp.where(
+            resto_done & (inf_pr > jnp.asarray(o.tol)),
+            _i32(S.INFEASIBLE_PROBLEM_DETECTED), status)
+        status = jnp.where(
+            resto_done & (inf_pr <= jnp.asarray(o.tol)),
+            _i32(S.RESTORATION_FAILED), status)
         st = st._replace(status=status)
 
         def work(st):
