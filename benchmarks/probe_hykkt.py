@@ -1,0 +1,73 @@
+"""HyKKT end-to-end tuning probe (VERDICT r1 #4): gamma / cg_tol schedule
+sweep at nb=600, f32 and f64, against the LDLt reference trajectory.
+
+CPU (trajectory quality):  python benchmarks/probe_hykkt.py cpu
+TPU (wall clock):          nohup python benchmarks/probe_hykkt.py tpu &
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(device="cpu", nb=600):
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from madnlp_tpu import KKTSystem, LinearSolver, MadNLPSolver, Status
+    from madnlp_tpu.models.instances import opf
+
+    model = opf.build(nb=nb, seed=0)  # dense-Ybus (the HYKKT path is dense)
+
+    def run(**kw):
+        sv = MadNLPSolver(model, kkt_system=KKTSystem.DENSE, **kw)
+        st = sv.solve_jitted()  # compile+warm
+        t0 = time.time()
+        st = sv.solve_jitted()
+        wall = time.time() - t0
+        return st, wall
+
+    ref, wall_ref = run(linear_solver=LinearSolver.LDL, dtype="float32")
+    print(json.dumps({"cfg": "LDL-f32-ref", "iter": int(ref.iter),
+                      "status": int(ref.status),
+                      "obj": float(ref.objective),
+                      "wall": round(wall_ref, 2),
+                      "iter_per_s": round(ref.iter / wall_ref, 2)}),
+          flush=True)
+
+    for dtype in ("float32", "float64"):
+        for gamma in (None, 1e4, 1e5, 1e6):
+            for cg_tol in (1e-2, 1e-4, 1e-6):
+                try:
+                    st, wall = run(
+                        linear_solver=LinearSolver.HYKKT, dtype=dtype,
+                        hykkt_gamma=gamma, hykkt_cg_tol=cg_tol,
+                    )
+                    ok = st.status in (Status.SOLVE_SUCCEEDED,
+                                       Status.SOLVED_TO_ACCEPTABLE_LEVEL)
+                    print(json.dumps({
+                        "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
+                        "iter": int(st.iter), "status": int(st.status),
+                        "obj": float(st.objective),
+                        "obj_rel_err": abs(float(st.objective)
+                                           - float(ref.objective))
+                        / abs(float(ref.objective)),
+                        "iter_delta_vs_ref": int(st.iter) - int(ref.iter),
+                        "wall": round(wall, 2),
+                        "iter_per_s": round(st.iter / wall, 2),
+                        "ok": bool(ok),
+                    }), flush=True)
+                except Exception as e:  # noqa: BLE001 — sweep must finish
+                    print(json.dumps({
+                        "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
+                        "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "cpu",
+         int(sys.argv[2]) if len(sys.argv) > 2 else 600)

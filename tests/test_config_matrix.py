@@ -57,7 +57,67 @@ CONFIGS = [
         solve_mode="inverse",
         dtype="float32",
     ), True),
+    # -- round 2 widening: remaining dense axes ------------------------------
+    (dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.QR), True),
+    (dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.LDL,
+          solve_mode="inverse"), True),
+    (dict(kkt_system=KKTSystem.DENSE, linear_solver=LinearSolver.EVD,
+          dtype="float32"), True),
+    (dict(kkt_system=KKTSystem.DENSE, kkt_scaling="ruiz"), True),
+    (dict(kkt_system=KKTSystem.DENSE, iterator="gmres",
+          inertia_correction_method=InertiaCorrection.FREE), True),
+    (dict(kkt_system=KKTSystem.DENSE,
+          fixed_variable_treatment=FixedVariableTreatment.RELAX_BOUND), False),
+    (dict(kkt_system=KKTSystem.DENSE_CONDENSED, dtype="float32"), True),
+    (dict(kkt_system=KKTSystem.DENSE_CONDENSED,
+          linear_solver=LinearSolver.HYKKT), True),
+    (dict(kkt_system=KKTSystem.DENSE,
+          hessian_approximation="bfgs", tol=1e-6), False),  # QN path
+    (dict(kkt_system=KKTSystem.DENSE,
+          hessian_approximation="compact_lbfgs", tol=1e-6), False),       # QN path
 ]
+
+# sparse-model configs (the sparse KKT family needs COO derivatives)
+SPARSE_CONFIGS = [
+    (dict(kkt_system=KKTSystem.SPARSE, linear_solver=LinearSolver.LDL), True),
+    (dict(kkt_system=KKTSystem.SPARSE, linear_solver=LinearSolver.BANDED),
+     True),
+    (dict(kkt_system=KKTSystem.SPARSE, linear_solver=LinearSolver.BANDED,
+          dtype="float32"), True),
+    (dict(kkt_system=KKTSystem.SPARSE,
+          linear_solver=LinearSolver.MULTIFRONTAL), True),
+    (dict(kkt_system=KKTSystem.SPARSE, linear_solver=LinearSolver.BLOCK_ARROW,
+          arrow_nparts=4), True),
+    (dict(kkt_system=KKTSystem.SCALED_SPARSE,
+          linear_solver=LinearSolver.LDL), True),
+    (dict(kkt_system=KKTSystem.SPARSE_UNREDUCED,
+          linear_solver=LinearSolver.LDL), True),
+    (dict(kkt_system=KKTSystem.SPARSE_CONDENSED, tol=1e-6), False),
+    (dict(kkt_system=KKTSystem.SPARSE, iterator="gmres"), True),
+    (dict(kkt_system=KKTSystem.SPARSE,
+          inertia_correction_method=InertiaCorrection.FREE), True),
+]
+
+
+@pytest.mark.parametrize("cfg,golden", SPARSE_CONFIGS, ids=lambda c: "-".join(
+    f"{k}={getattr(v, 'name', v)}" for k, v in c.items()
+) if isinstance(c, dict) else None)
+def test_config_sparse(cfg, golden):
+    from madnlp_tpu.models.instances import opf
+
+    model = opf.build_sparse(nb=24, seed=0)
+    ref = madnlp(opf.build_sparse(nb=24, seed=0), print_level="error")
+    stats = madnlp(model, print_level="error", **cfg)
+    assert stats.status in (
+        Status.SOLVE_SUCCEEDED,
+        Status.SOLVED_TO_ACCEPTABLE_LEVEL,
+    ), (cfg, stats)
+    tol = cfg.get("tol", 1e-8)
+    np.testing.assert_allclose(
+        stats.objective, ref.objective, rtol=100 * tol
+    )
+    if golden:
+        assert stats.iter == ref.iter, (cfg, stats.iter, ref.iter)
 
 
 @pytest.mark.parametrize("cfg,golden", CONFIGS, ids=lambda c: "-".join(
