@@ -1,12 +1,18 @@
 """Benchmark — prints ONE JSON line with the primary metric.
 
-Primary metric: IPM iterations/second on a synthetic nb=600 (case1354-
-variable-count-scale) ACOPF (the reference's headline benchmark family,
-BASELINE.md) — fully-jitted solve to tol=1e-8 with mixed precision (f32
-factorization + Ruiz equilibration + f64 Richardson refinement; iteration
-counts identical to full f64).  Measured on this chip: 10.1 iter/s,
-16.1x the identical solve on the host CPU (nb=118 for comparison: 28.3
-iter/s, 4.0x — the MXU advantage grows with scale).
+Default run (``python bench.py``):
+
+1. REAL case118 (IEEE 118-bus, tests/data/case118.m — the entry case of
+   the reference's pglib benchmark family) solved on-chip to tol=1e-8
+   with the objective asserted against the published optimum 129660.70
+   $/hr: an externally-anchored correctness gate inside the bench.
+2. The flagship synthetic nb=600 ACOPF (case1354-variable-count scale)
+   — the primary iter/s metric, comparable across rounds.
+3. Roofline/MFU accounting for the banded factorization (BASELINE.md:30)
+   from analytic FLOP counts (madnlp_tpu/utils/flops.py).
+
+``python bench.py case57`` (or case9/14/30/118, or nb3000) re-points the
+primary metric at that case.
 
 ``vs_baseline`` is the measured wall-clock ratio of the *identical* solve
 run on the host CPU backend (the honest single-machine CPU reference,
@@ -15,10 +21,30 @@ mean the TPU beats the CPU.
 """
 
 import json
+import os
+import sys
 import time
 
+PUBLISHED = {
+    "case9": 5296.69, "case14": 8081.53, "case30": 576.89,
+    "case57": 41737.79, "case118": 129660.70,
+}
 
-def main(nb=600):
+
+def _make_model(spec):
+    if spec.startswith("case"):
+        from madnlp_tpu.models import matpower
+
+        case = matpower.parse_case(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "data", f"{spec}.m"))
+        return matpower.build_acopf(case, sparse=True), PUBLISHED.get(spec)
+    from madnlp_tpu.models.instances import opf
+
+    return opf.build_sparse(nb=int(spec[2:]), seed=0), None
+
+
+def main(spec="nb600"):
     import jax
 
     # allow both the TPU and the host CPU backend in this process
@@ -28,35 +54,62 @@ def main(nb=600):
         pass
 
     from madnlp_tpu import LinearSolver, MadNLPSolver, Status
-    from madnlp_tpu.models.instances import opf
+    from madnlp_tpu.utils import flops as F
+    from madnlp_tpu.utils.timing import timing_linear_solver
 
     # Flagship configuration (fastest measured, benchmarks/sweep.py):
     # sparse edge-local model (ExaModels-style branch-local AD — nnz-sized
     # derivative evaluation) + RCM block-banded LDLt factorization.
-    # Measured nb=600 on chip: banded 16.2 iter/s vs dense-Ybus 11.3,
-    # multifrontal 8.1, HyKKT 6.4 — all with identical iteration counts.
-    def make_solver(**kw):
+    def make_solver(model, **kw):
         kw.setdefault("linear_solver", LinearSolver.BANDED)
-        return MadNLPSolver(opf.build_sparse(nb=nb, seed=0), dtype="float32",
-                            **kw)
+        return MadNLPSolver(model, dtype="float32", **kw)
 
-    def timed_solve(solver):
+    def timed_solve(solver, check_obj=None):
         stats = solver.solve_jitted()  # compile + warm
         assert stats.status in (
             Status.SOLVE_SUCCEEDED,
             Status.SOLVED_TO_ACCEPTABLE_LEVEL,
         ), stats
+        if check_obj is not None:
+            rel = abs(stats.objective - check_obj) / abs(check_obj)
+            assert rel < 1e-4, (
+                f"objective {stats.objective} vs published {check_obj}")
         t0 = time.time()
         stats = solver.solve_jitted()
         return stats, time.time() - t0
 
-    solver = make_solver()
-    model = solver.model
-    stats, t_dev = timed_solve(solver)
+    device = jax.devices()[0].platform
+
+    # 1) real-case validation gate (always case118 unless it IS the spec)
+    real_note = ""
+    if spec != "case118":
+        rmodel, robj = _make_model("case118")
+        rsolver = make_solver(rmodel)
+        rstats, rt = timed_solve(rsolver, check_obj=robj)
+        real_note = (
+            f"case118 REAL: obj matches published 129660.70 to "
+            f"{abs(rstats.objective - 129660.70) / 129660.70:.1e}, "
+            f"{int(rstats.iter)} iters, {rstats.iter / rt:.1f} iter/s; "
+        )
+
+    # 2) primary metric
+    model, pub_obj = _make_model(spec)
+    solver = make_solver(model)
+    stats, t_dev = timed_solve(solver, check_obj=pub_obj)
     iters = max(stats.iter, 1)
     iter_per_s = iters / t_dev
 
-    device = jax.devices()[0].platform
+    # 3) roofline / MFU of the banded factorization (BASELINE.md:30)
+    lin = timing_linear_solver(solver, ntrials=5)
+    bs = solver.kernel.kkt.bstruct
+    rl = F.banded_roofline(bs, lin["t_build_factorize"])
+    mfu_note = (
+        f"banded factorize {lin['t_build_factorize'] * 1e3:.1f} ms = "
+        f"{rl.achieved_gflops:.0f} GF/s, {100 * rl.mfu:.1f}% of f32-highest "
+        f"peak, {100 * rl.roofline_frac:.0f}% of its N*w^2 roofline "
+        f"(latency-bound sequential band loop); "
+    )
+
     vs_baseline = 1.0
     if device != "cpu":
         try:
@@ -66,7 +119,7 @@ def main(nb=600):
                 # and the XLA band loop (banded_backend auto resolves by
                 # *process* default backend, which is the TPU here)
                 cpu_solver = make_solver(
-                    solve_mode="trisolve", banded_backend="xla"
+                    model, solve_mode="trisolve", banded_backend="xla"
                 )
                 cpu_stats, t_cpu = timed_solve(cpu_solver)
             vs_baseline = t_cpu / t_dev
@@ -78,13 +131,11 @@ def main(nb=600):
             {
                 "metric": "ipm_iter_per_s",
                 "value": round(iter_per_s, 3),
-                "unit": f"iter/s (synthetic ACOPF nb={nb} n={model.n} "
-                f"m={model.m}, tol=1e-8 f32+Ruiz+IR, {iters} iters, "
-                f"device={device}, flagship sparse+banded config; "
-                f"vs_baseline = cpu_wall/device_wall of the identical solve "
-                f"— the banded path is latency-bound so the chip ratio is "
-                f"modest; the MXU ratio on the dense-Ybus path is ~17x, "
-                f"see docs/benchmarks.md)",
+                "unit": f"iter/s ({spec} ACOPF n={model.n} m={model.m}, "
+                f"tol=1e-8 f32+Ruiz+IR, {iters} iters, device={device}, "
+                f"flagship sparse+banded config; {real_note}{mfu_note}"
+                f"vs_baseline = cpu_wall/device_wall of the identical "
+                f"solve, see docs/benchmarks.md)",
                 "vs_baseline": (
                     round(vs_baseline, 4) if vs_baseline is not None else None
                 ),
@@ -94,4 +145,4 @@ def main(nb=600):
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "nb600")
