@@ -407,30 +407,44 @@ def _parse_nl(path: str) -> ParsedNL:
 
     # The header is ASCII text in BOTH formats: the format line + 9 lines
     # of integers.  For binary files the payload starts right after the
-    # 10th newline.
+    # 10th newline (exact — the byte offset matters); text files tolerate
+    # blank / comment-only lines inside the header (ASL strips them too).
     hdr_end = 0
-    for _ in range(10):
+    nl_pos = raw.find(b"\n")
+    if nl_pos < 0:
+        raise ValueError(f"{path}: truncated .nl header")
+    first = raw[:nl_pos].decode("ascii", "replace")
+    hdr_end = nl_pos + 1
+    header_opts = [int(t) for t in first[1:].split("#", 1)[0].split()]
+    hdr = []
+    while len(hdr) < 9:
         nl_pos = raw.find(b"\n", hdr_end)
         if nl_pos < 0:
             raise ValueError(f"{path}: truncated .nl header")
+        ln = raw[hdr_end:nl_pos].decode("ascii", "replace")
         hdr_end = nl_pos + 1
-    hdr_lines = raw[:hdr_end].decode("ascii", "replace").splitlines()
-    first = hdr_lines[0]
-    header_opts = [int(t) for t in first[1:].split("#", 1)[0].split()]
-    hdr = [
-        [_int_or_float(t) for t in ln.split("#", 1)[0].split()]
-        for ln in hdr_lines[1:]
-    ]
+        row = [_int_or_float(t) for t in ln.split("#", 1)[0].split()]
+        if not row:
+            if fmt == "b":
+                # binary payload offset is byte-exact: an empty integer
+                # line can't be skipped over, it is a corrupt header
+                raise ValueError(
+                    f"{path}: malformed .nl header (blank integer line "
+                    f"in a binary file)")
+            continue  # text: skip blank / comment-only header lines
+        hdr.append(row)
 
     n_var, n_con, n_obj = int(hdr[0][0]), int(hdr[0][1]), int(hdr[0][2])
     if n_obj == 0:
         raise ValueError(f"{path}: no objective in model")
 
     if fmt == "b":
-        # header line 6 = (linear network vars, functions, arith, flags);
-        # arith is the ASL Arith_Kind: 1 = IEEE little-endian,
-        # 2 = IEEE big-endian (0 appears only in text files)
-        arith = int(hdr[5][2]) if len(hdr) > 5 and len(hdr[5]) > 2 else 1
+        # header line 6 (hdr[4]) = (linear network vars, functions, arith,
+        # flags); arith is the ASL Arith_Kind: 1 = IEEE little-endian,
+        # 2 = IEEE big-endian (0 appears only in text files).  N.B. the
+        # discrete-variables line is hdr[5] — reading arith from there
+        # silently parsed big-endian files as little-endian (ADVICE r2).
+        arith = int(hdr[4][2]) if len(hdr) > 4 and len(hdr[4]) > 2 else 1
         if arith not in (0, 1, 2):
             raise NotImplementedError(
                 f"{path}: non-IEEE binary .nl (arith={arith}) unsupported"
