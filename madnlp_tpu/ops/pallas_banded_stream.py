@@ -57,7 +57,7 @@ from .pallas_banded import _ldlt_with_inverse
 
 
 def _stream_factorize_kernel(
-    band_hbm, out_hbm, invl_hbm, d_ref, win, invl_s, sem, *, nb, b, bw
+    band_hbm, out_hbm, invl_hbm, d_ref, win, invl_s, sem, *, nb, b, bw, panel
 ):
     stride = (bw + 1) * b
     nslots = bw + 1
@@ -100,7 +100,7 @@ def _stream_factorize_kernel(
             def _(s=s, col=col):
                 srow = s * stride
                 Akk = win[srow : srow + b, :]
-                LD, invLkk = _ldlt_with_inverse(Akk, b)
+                LD, invLkk = _ldlt_with_inverse(Akk, b, panel)
                 Lkk = jnp.where(tri, LD, 0.0) + eye_b.astype(LD.dtype)
                 # diagonal as a LANE-oriented row (1, b): the d output is
                 # stored (nbp, b) so its footprint is b lanes, not a
@@ -162,12 +162,14 @@ def _stream_factorize_kernel(
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), group, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "b", "bw", "interpret"))
-def _stream_factorize_call(band2d, nb, b, bw, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("nb", "b", "bw", "interpret", "panel"))
+def _stream_factorize_call(band2d, nb, b, bw, interpret=False, panel=32):
     nbp = nb + bw
     stride = (bw + 1) * b
     out, invl, d = pl.pallas_call(
-        functools.partial(_stream_factorize_kernel, nb=nb, b=b, bw=bw),
+        functools.partial(
+            _stream_factorize_kernel, nb=nb, b=b, bw=bw, panel=panel),
         out_shape=(
             jax.ShapeDtypeStruct(band2d.shape, band2d.dtype),
             jax.ShapeDtypeStruct((nbp * b, b), band2d.dtype),
@@ -191,12 +193,16 @@ def _stream_factorize_call(band2d, nb, b, bw, interpret=False):
 
 
 def pallas_banded_factorize_stream(
-    struct: BandStructure, band: jax.Array, interpret: bool = False
+    struct: BandStructure, band: jax.Array, interpret: bool = False,
+    panel: int = 32,
 ) -> BandedFactor:
-    """Streaming drop-in for ``banded.banded_factorize``."""
+    """Streaming drop-in for ``banded.banded_factorize``.  ``panel`` is the
+    corner width of the panel-blocked diagonal factorization
+    (pallas_banded._ldlt_with_inverse); 0 selects the scalar fallback."""
     nb, b, bw, nbp = struct.nb, struct.b, struct.bw, struct.nbp
     band2d = band.reshape(nbp * (bw + 1) * b, b)
-    out, invl, d = _stream_factorize_call(band2d, nb, b, bw, interpret=interpret)
+    out, invl, d = _stream_factorize_call(
+        band2d, nb, b, bw, interpret=interpret, panel=panel)
     return BandedFactor(
         band=out.reshape(nbp, bw + 1, b, b),
         invL=invl.reshape(nbp, b, b),

@@ -108,15 +108,10 @@ def test_shape(sid, n, m, kw):
     rng = np.random.default_rng(100 + sid)
     model, cons, lcon, ucon, lvar, uvar = _make(sid, n, m, rng=rng, **kw)
     stats = madnlp(model, print_level="error", tol=TOL)
-    if (stats.status == Status.RESTORATION_FAILED
-            and kw.get("eq_frac") == 1.0 and m > n):
-        # Over-determined all-equality systems (rank(J) < m) can strand
-        # the filter line search at the (degenerate) optimum; Ipopt aborts
-        # restoration called at an almost-feasible point the same way.
-        # The exit must then be the HONEST failure: a feasible point and
-        # NOT an infeasibility claim.
-        assert stats.primal_feas < 100 * TOL, (sid, kw, stats)
-        return
+    # Round 3: no escape hatches left.  Over-determined all-equality
+    # systems (rank(J) < m) used to strand restoration at the (degenerate)
+    # optimum; the in-restoration original-NLP convergence check + robust
+    # multiplier recovery (ipm/step.py) now solve every shape.
     assert stats.status == Status.SOLVE_SUCCEEDED, (sid, kw, stats)
     assert stats.primal_feas < 100 * TOL
     assert stats.dual_feas < 100 * TOL
