@@ -76,7 +76,14 @@ def main():
         f_p = jax.jit(lambda bd: pb.pallas_banded_factorize_stream(bs, bd))(
             band)
         d_err = float(jnp.max(jnp.abs(f_p.d[:N] - f_x.d[:N])))
-        b_err = float(jnp.max(jnp.abs(f_p.band - f_x.band)))
+        # compare the REAL factored columns only: the round-3 pipelined
+        # kernel's unconditional (clamped) DMA schedule uses the band's
+        # padding columns [nb:] as a garbage sink — their content is
+        # unspecified by contract and never read by any consumer (solve
+        # sweeps and inertia guard to col < nb; assembly overwrites)
+        b_err = float(jnp.max(jnp.abs(
+            f_p.band[: bs.nb] - f_x.band[: bs.nb])))
+        b_err_pad = float(jnp.max(jnp.abs(f_p.band - f_x.band)))
         rhs = jnp.asarray(rng.standard_normal(N), jnp.float32)
         x_p = jax.jit(lambda f, r: pb.pallas_banded_solve_stream(bs, f, r))(
             f_p, rhs)
@@ -92,6 +99,7 @@ def main():
         print(json.dumps({
             "check": f"stream_vs_xla_N{N}_b{b}_bw{bw}",
             "factor_d_err": d_err, "factor_band_err": b_err,
+            "factor_band_err_incl_padding": b_err_pad,
             "solve_residual_inf": res,
             "solve_residual_xla_factor": res_x, "ok": bool(ok)}), flush=True)
 

@@ -56,12 +56,46 @@ from .ldlt import ZERO_PIVOT_TOL
 from .pallas_banded import _ldlt_with_inverse
 
 
+def _i(v):
+    """int32 index for scratch-ref ``.at[]`` slicing: under jax x64 a bare
+    python int traces as i64, which Mosaic's ``tpu.memref_slice`` rejects
+    (semaphore/VMEM array indices must be i32)."""
+    return jnp.int32(v)
+
+
 def _stream_factorize_kernel(
-    band_hbm, out_hbm, invl_hbm, d_ref, win, invl_s, sem, *, nb, b, bw, panel
+    band_hbm, out_hbm, invl_hbm, d_ref, win, invl_s, sem_r, sem_w,
+    *, nb, b, bw, panel
 ):
+    """Round-3: fully PIPELINED column DMAs over ``bw+2`` rotating slots
+    (round 2 used ``bw+1`` slots with synchronous load + writeback per
+    column — 3 blocking DMA waits × nb columns of pure latency).
+
+    Schedule per column ``c`` (slot ``s = c mod (bw+2)``, all slot indices
+    python ints via the group-unrolled loop):
+
+      1. [D] factor the diagonal block + panel (slot ``s`` resident: its
+         load was waited at column ``c−bw``, before any updates hit it);
+      2. ``wait_w(s−1)`` (writeback of column ``c−1``, issued one column
+         ago — overlapped by [D]) then ``start_r(s−1 ← column c+bw+1)``;
+      3. ``wait_r(s−2)`` — the load of column ``c+bw`` issued at column
+         ``c−1``, overlapped by a full column of compute;
+      4. [U] trailing updates into slots ``σ(c+1..c+bw)`` — the loading
+         slot ``σ(c+bw+1) = s−1`` is exactly the one NOT touched, which is
+         why the window needs the extra slot;
+      5. write the factored column + ``invl_s[s]`` + ``d`` (guarded
+         ``c < nb``), then ``start_w(s)`` (waited at column ``c+1``).
+
+    DMA issue/wait pairs are all UNCONDITIONAL with clamped HBM indices so
+    semaphore counts are static; overhang steps (``c ≥ nb``) compute
+    garbage into dead slots and write back to the band's padding column
+    (rows ``≥ nb·stride`` — never consumed downstream: the solve kernel
+    guards, and the next factorize re-assembles).  A dummy initial
+    writeback of slot ``bw+1`` primes the wait_w chain."""
     stride = (bw + 1) * b
-    nslots = bw + 1
+    nslots = bw + 2
     ngroups = -(-nb // nslots)
+    pad_col = jnp.int32(nb + bw - 1)     # padding column: garbage sink
     # tail rows (columns nb..nb+bw-1 are band padding, never factored):
     # a STATIC disjoint write — the per-column rows below are written
     # exactly once each, so no dynamic-offset write-after-write exists
@@ -74,20 +108,58 @@ def _stream_factorize_kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
     )
 
-    def load(col, s):
+    def clamp(col):
+        return jnp.clip(col, jnp.int32(0), jnp.int32(nb + bw - 1))
+
+    def start_r(col, s):
         # col is traced (HBM offsets may be dynamic — DMA engines handle
         # that); s is a PYTHON int so the VMEM-side offset is static.
-        cp = pltpu.make_async_copy(
-            band_hbm.at[pl.ds(col * jnp.int32(stride), stride), :],
+        pltpu.make_async_copy(
+            band_hbm.at[pl.ds(clamp(col) * jnp.int32(stride), stride), :],
             win.at[pl.ds(s * stride, stride), :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
+            sem_r.at[_i(s)],
+        ).start()
 
-    # preload columns 0..bw into slots 0..bw
-    for s in range(nslots):
-        load(jnp.int32(s), s)
+    def wait_r(s):
+        pltpu.make_async_copy(
+            band_hbm.at[pl.ds(0, stride), :],
+            win.at[pl.ds(s * stride, stride), :],
+            sem_r.at[_i(s)],
+        ).wait()
+
+    def start_w(col, s):
+        pltpu.make_async_copy(
+            win.at[pl.ds(s * stride, stride), :],
+            out_hbm.at[pl.ds(clamp(col) * jnp.int32(stride), stride), :],
+            sem_w.at[_i(s), _i(0)],
+        ).start()
+        pltpu.make_async_copy(
+            invl_s.at[_i(s)],
+            invl_hbm.at[pl.ds(clamp(col) * jnp.int32(b), b), :],
+            sem_w.at[_i(s), _i(1)],
+        ).start()
+
+    def wait_w(s):
+        pltpu.make_async_copy(
+            win.at[pl.ds(s * stride, stride), :],
+            out_hbm.at[pl.ds(0, stride), :],
+            sem_w.at[_i(s), _i(0)],
+        ).wait()
+        pltpu.make_async_copy(
+            invl_s.at[_i(s)],
+            invl_hbm.at[pl.ds(0, b), :],
+            sem_w.at[_i(s), _i(1)],
+        ).wait()
+
+    # preload columns 0..bw into slots 0..bw; wait 0..bw-1 now (column
+    # bw's load is waited by column 0's step 3); prime the wait_w chain
+    # with a dummy writeback of (uninitialized) slot bw+1 to the padding
+    # column — its content is never read
+    for s in range(nslots - 1):
+        start_r(jnp.int32(s), s)
+    for s in range(nslots - 2):
+        wait_r(s)
+    start_w(pad_col, nslots - 1)
 
     def group(g, _):
         base = g * jnp.int32(nslots)
@@ -95,29 +167,41 @@ def _stream_factorize_kernel(
         # slot s for every group, so all win[] slices below are static
         for s in range(nslots):
             col = base + jnp.int32(s)
+            srow = s * stride
+            s_free = (s - 1) % nslots    # slot of column col-1
+            s_newest = (s - 2) % nslots  # slot receiving column col+bw
+
+            # [D] diagonal + panel factor (compute only, overlaps DMAs)
+            Akk = win[srow : srow + b, :]
+            LD, invLkk = _ldlt_with_inverse(Akk, b, panel)
+            Lkk = jnp.where(tri, LD, 0.0) + eye_b.astype(LD.dtype)
+            # diagonal as a LANE-oriented row (1, b): the d output is
+            # stored (nbp, b) so its footprint is b lanes, not a
+            # (nbp*b, 1) column padded to 128 lanes (a VMEM bomb at
+            # N ~ 20k)
+            dk_row = jnp.sum(
+                jnp.where(eye_b, LD, 0.0), axis=0, keepdims=True
+            )
+            dk_div_row = jnp.where(
+                jnp.abs(dk_row) <= ZERO_PIVOT_TOL, jnp.inf, dk_row
+            )
+            P = win[srow + b : srow + stride, :]
+            X = jnp.dot(P, invLkk.T, preferred_element_type=P.dtype)
+            Lcol = X / dk_div_row
+            G = jnp.dot(Lcol, X.T, preferred_element_type=P.dtype)
+
+            # recycle the freed slot: writeback of col-1 has had all of
+            # [D] to drain; the incoming load rides under the next [D]+[U]
+            wait_w(s_free)
+            start_r(col + jnp.int32(bw + 1), s_free)
+            # the load of column col+bw (issued at column col-1) must
+            # land before [U] touches its slot
+            wait_r(s_newest)
 
             @pl.when(col < jnp.int32(nb))
-            def _(s=s, col=col):
-                srow = s * stride
-                Akk = win[srow : srow + b, :]
-                LD, invLkk = _ldlt_with_inverse(Akk, b, panel)
-                Lkk = jnp.where(tri, LD, 0.0) + eye_b.astype(LD.dtype)
-                # diagonal as a LANE-oriented row (1, b): the d output is
-                # stored (nbp, b) so its footprint is b lanes, not a
-                # (nbp*b, 1) column padded to 128 lanes (a VMEM bomb at
-                # N ~ 20k)
-                dk_row = jnp.sum(
-                    jnp.where(eye_b, LD, 0.0), axis=0, keepdims=True
-                )
-                dk_div_row = jnp.where(
-                    jnp.abs(dk_row) <= ZERO_PIVOT_TOL, jnp.inf, dk_row
-                )
-
-                P = win[srow + b : srow + stride, :]
-                X = jnp.dot(P, invLkk.T, preferred_element_type=P.dtype)
-                Lcol = X / dk_div_row
-                G = jnp.dot(Lcol, X.T, preferred_element_type=P.dtype)
-
+            def _(s=s, col=col, srow=srow, Lkk=Lkk, dk_row=dk_row,
+                  Lcol=Lcol, G=G, invLkk=invLkk):
+                # [U] trailing updates (never touches the loading slot)
                 for l in range(1, bw + 1):
                     trow = ((s + l) % nslots) * stride
                     rows_cnt = (bw + 1 - l) * b
@@ -129,37 +213,22 @@ def _stream_factorize_kernel(
                     win[trow : trow + rows_cnt, :] = cur - upd
 
                 diag_part = jnp.where(tri, Lkk, 0.0) + dk_row * eye_b.astype(
-                    LD.dtype
+                    Lkk.dtype
                 )
                 win[srow : srow + b, :] = diag_part
                 win[srow + b : srow + stride, :] = Lcol
-                invl_s[:, :] = invLkk
+                invl_s[s, :, :] = invLkk
                 d_ref[pl.ds(col, 1), :] = dk_row
 
-                # write back the factored column + its diag-block inverse
-                out_cp = pltpu.make_async_copy(
-                    win.at[pl.ds(s * stride, stride), :],
-                    out_hbm.at[pl.ds(col * jnp.int32(stride), stride), :],
-                    sem,
-                )
-                out_cp.start()
-                out_cp.wait()
-                inv_cp = pltpu.make_async_copy(
-                    invl_s, invl_hbm.at[pl.ds(col * jnp.int32(b), b), :], sem
-                )
-                inv_cp.start()
-                inv_cp.wait()
-
-                # reload the freed slot with column col+bw+1
-                nxt = col + jnp.int32(nslots)
-
-                @pl.when(nxt < jnp.int32(nb + bw))
-                def _():
-                    load(nxt, s)
+            start_w(col, s)              # waited at column col+1
 
         return jnp.int32(0)
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), group, jnp.int32(0))
+    # drain: the last column-step leaves one outstanding load (slot
+    # nslots-2) and its own writeback (slot nslots-1)
+    wait_r(nslots - 2)
+    wait_w(nslots - 1)
 
 
 @functools.partial(
@@ -182,9 +251,10 @@ def _stream_factorize_call(band2d, nb, b, bw, interpret=False, panel=32):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM(((bw + 1) * stride, b), band2d.dtype),
-            pltpu.VMEM((b, b), band2d.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM(((bw + 2) * stride, b), band2d.dtype),
+            pltpu.VMEM((bw + 2, b, b), band2d.dtype),
+            pltpu.SemaphoreType.DMA((bw + 2,)),
+            pltpu.SemaphoreType.DMA((bw + 2, 2)),
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -223,68 +293,120 @@ def _stream_solve_kernel(
     Hazard-free dataflow (see module docstring): both sweeps carry the
     active window as a fori_loop VALUE; ``zbuf``/``out_ref`` are each
     written exactly once per lane region and ``zbuf`` is only read by the
-    backward sweep (a different, sequenced loop)."""
+    backward sweep (a different, sequenced loop).
+
+    Round-3: DOUBLE-BUFFERED column DMAs.  The round-2 kernel waited two
+    synchronous copies per column per sweep (≈44 waits at nb=600 — the
+    measured 2.7 ms solve wall was DMA latency, not bandwidth or flops).
+    Now columns stream through two VMEM slots: each step waits the load
+    issued two steps earlier, consumes it, and immediately re-issues the
+    slot for column j±2, so the next column's copy rides under the current
+    column's compute.  Loop bodies are statically 2-unrolled so every
+    VMEM-side offset stays static (Mosaic's best-tested addressing path);
+    out-of-range prefetch indices are clamped (their data is never read).
+    Start/wait pairs are balanced per slot: 2 preloads + one start per
+    step, one wait per step + 2 drains per sweep."""
     stride = (bw + 1) * b
+    ngroups = -(-nb // 2)
     eye_b = (
         jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
     )
 
-    def load_col(j):
-        cp = pltpu.make_async_copy(
-            band_hbm.at[pl.ds(j * jnp.int32(stride), stride), :], colbuf, sem
-        )
-        cp.start()
-        cp.wait()
-        ci = pltpu.make_async_copy(
-            invl_hbm.at[pl.ds(j * jnp.int32(b), b), :], invbuf, sem
-        )
-        ci.start()
-        ci.wait()
+    def clamp(col):
+        return jnp.clip(col, jnp.int32(0), jnp.int32(nb + bw - 1))
 
-    def diag_div():
+    def start_load(col, s):
+        col = clamp(col)
+        pltpu.make_async_copy(
+            band_hbm.at[pl.ds(col * jnp.int32(stride), stride), :],
+            colbuf.at[_i(s)], sem.at[_i(s), _i(0)],
+        ).start()
+        pltpu.make_async_copy(
+            invl_hbm.at[pl.ds(col * jnp.int32(b), b), :],
+            invbuf.at[_i(s)], sem.at[_i(s), _i(1)],
+        ).start()
+
+    def wait_load(s):
+        pltpu.make_async_copy(
+            band_hbm.at[pl.ds(0, stride), :], colbuf.at[_i(s)], sem.at[_i(s), _i(0)]
+        ).wait()
+        pltpu.make_async_copy(
+            invl_hbm.at[pl.ds(0, b), :], invbuf.at[_i(s)], sem.at[_i(s), _i(1)]
+        ).wait()
+
+    def diag_div(s):
         # the factor column's diagonal block carries d_j on its diagonal
         dk_row = jnp.sum(
-            jnp.where(eye_b, colbuf[0:b, :], 0.0), axis=0, keepdims=True
+            jnp.where(eye_b, colbuf[s, 0:b, :], 0.0), axis=0, keepdims=True
         )
         return jnp.where(jnp.abs(dk_row) <= ZERO_PIVOT_TOL, jnp.inf, dk_row)
 
     # forward sweep: W carries the partially-updated rhs for columns
     # j..j+bw (the only lanes a banded L touches ahead of the pivot)
-    def fwd(j, W):
-        load_col(j)
-        rj = W[:, :b]                                            # (k, b)
-        zj = jnp.dot(rj, invbuf[:, :].T, preferred_element_type=rj.dtype)
-        Pj = colbuf[b:stride, :]                                 # (bw*b, b)
-        rest = W[:, b:] - jnp.dot(zj, Pj.T, preferred_element_type=rj.dtype)
-        # fuse the D^{-1} step: z_j is final after step j
-        zbuf[:, pl.ds(j * jnp.int32(b), b)] = zj / diag_div()
-        # shift in the rhs of column j+bw+1 (clamped: the final
-        # iterations' shifted-in lanes are never consumed)
-        nxt_col = jnp.minimum(
-            j + jnp.int32(bw + 1), jnp.int32(nb + bw - 1)
-        )
-        nxt = rhs_ref[:, pl.ds(nxt_col * jnp.int32(b), b)]
-        return jnp.concatenate([rest, nxt], axis=1)
+    start_load(jnp.int32(0), 0)
+    start_load(jnp.int32(1), 1)
+
+    def fwd_group(g, W):
+        for s in (0, 1):                     # static unroll: slot = j % 2
+            j = 2 * g + jnp.int32(s)
+            wait_load(s)
+            rj = W[:, :b]                                        # (k, b)
+            zj = jnp.dot(
+                rj, invbuf[s].T, preferred_element_type=rj.dtype)
+            Pj = colbuf[s, b:stride, :]                          # (bw*b, b)
+            rest = W[:, b:] - jnp.dot(
+                zj, Pj.T, preferred_element_type=rj.dtype)
+            zout = zj / diag_div(s)
+
+            # fuse the D^{-1} step: z_j is final after step j (guarded:
+            # the 2-unroll's overhang step computes garbage, writes nothing)
+            @pl.when(j < jnp.int32(nb))
+            def _(j=j, zout=zout):
+                zbuf[:, pl.ds(j * jnp.int32(b), b)] = zout
+
+            start_load(j + jnp.int32(2), s)  # slot consumed — re-issue
+            # shift in the rhs of column j+bw+1 (clamped: the final
+            # iterations' shifted-in lanes are never consumed)
+            nxt = rhs_ref[:, pl.ds(clamp(j + jnp.int32(bw + 1))
+                                   * jnp.int32(b), b)]
+            W = jnp.concatenate([rest, nxt], axis=1)
+        return W
 
     W0 = rhs_ref[:, 0:stride]
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), fwd, W0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), fwd_group, W0)
+    wait_load(0)                             # drain the two overhang loads
+    wait_load(1)
 
     # backward sweep: X carries x for columns j+1..j+bw (nearest first)
-    def bwd(t, X):
-        j = jnp.int32(nb - 1) - t
-        load_col(j)
-        Pj = colbuf[b:stride, :]
-        wj = zbuf[:, pl.ds(j * jnp.int32(b), b)]                 # (k, b)
-        tj = wj - jnp.dot(X, Pj, preferred_element_type=wj.dtype)
-        xj = jnp.dot(tj, invbuf[:, :], preferred_element_type=wj.dtype)
-        out_ref[:, pl.ds(j * jnp.int32(b), b)] = xj
-        if bw > 1:
-            return jnp.concatenate([xj, X[:, : (bw - 1) * b]], axis=1)
-        return xj
+    start_load(jnp.int32(nb - 1), 0)
+    start_load(jnp.int32(nb - 2), 1)
+
+    def bwd_group(g, X):
+        for s in (0, 1):
+            t = 2 * g + jnp.int32(s)
+            j = jnp.int32(nb - 1) - t
+            wait_load(s)
+            Pj = colbuf[s, b:stride, :]
+            wj = zbuf[:, pl.ds(clamp(j) * jnp.int32(b), b)]      # (k, b)
+            tj = wj - jnp.dot(X, Pj, preferred_element_type=wj.dtype)
+            xj = jnp.dot(tj, invbuf[s], preferred_element_type=wj.dtype)
+
+            @pl.when(j >= jnp.int32(0))
+            def _(j=j, xj=xj):
+                out_ref[:, pl.ds(j * jnp.int32(b), b)] = xj
+
+            start_load(j - jnp.int32(2), s)
+            if bw > 1:
+                X = jnp.concatenate([xj, X[:, : (bw - 1) * b]], axis=1)
+            else:
+                X = xj
+        return X
 
     X0 = jnp.zeros((k, bw * b), rhs_ref.dtype)
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), bwd, X0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), bwd_group, X0)
+    wait_load(0)
+    wait_load(1)
 
     # the padding lanes (columns nb..nb+bw-1) are never written above and
     # never read by the host slice; zero them once, statically
@@ -305,9 +427,9 @@ def _stream_solve_call(band2d, invl2d, rhs_t, nb, b, bw, k, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM(rhs_t.shape, rhs_t.dtype),
-            pltpu.VMEM((stride, b), rhs_t.dtype),
-            pltpu.VMEM((b, b), rhs_t.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, stride, b), rhs_t.dtype),
+            pltpu.VMEM((2, b, b), rhs_t.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(band2d, invl2d, rhs_t)
