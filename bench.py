@@ -74,9 +74,12 @@ def main(spec="nb600"):
             rel = abs(stats.objective - check_obj) / abs(check_obj)
             assert rel < 1e-4, (
                 f"objective {stats.objective} vs published {check_obj}")
-        t0 = time.time()
         stats = solver.solve_jitted()
-        return stats, time.time() - t0
+        # stats.solve_time = dispatch + on-device solve, blocked on the
+        # final status — NOT including host-side stats extraction (which
+        # over the axon tunnel used to dominate and was mistakenly inside
+        # the timed window through round 2; see docs/benchmarks.md r3)
+        return stats, stats.solve_time
 
     device = jax.devices()[0].platform
 

@@ -194,6 +194,7 @@ class MadNLPSolver:
         self._restore = jax.jit(self.kernel.restore_step)
         self._robust = jax.jit(self.kernel.robust_step)
         self._solve_jit = None
+        self._post_jit = None
         self._solve_batch_jit = None
         self._whole_fn = None
         self._reinit_fn = None
@@ -522,51 +523,85 @@ class MadNLPSolver:
 
     # ------------------------------------------------------------------
 
+    def _build_post_jit(self):
+        """One jitted device computation for everything _stats needs that
+        is not already in the final State: the unscaled constraint values
+        and (when fixed variables exist) the gradient + Jᵀy for bound-
+        multiplier recovery (update_z!, nlpmodels.jl:1075-1087).
+
+        The previous implementation called the UN-jitted model evals
+        eagerly from the host — over the axon tunnel that executed the
+        whole constraint AD graph op-by-op at ~2-4 ms per op, which
+        dominated every bench's measured \"solve\" wall (probe_step2:
+        13 ms/iter on device vs 55 ms/iter measured through
+        solve_jitted + stats)."""
+        p = self.prob
+
+        def post(st):
+            theta = st.theta if p.model.is_parametric else None
+            x = st.x[: p.n]
+            cons = p._cons(x, theta) if p.m else jnp.zeros((0,))
+            if bool(p.fixed_mask.any()):
+                g = p._grad(x, theta)
+                if p.m > 0:
+                    _, vjp = jax.vjp(lambda xx: p._cons(xx, theta), x)
+                    g = g + vjp(st.y * st.scal.con_scale)[0]
+            else:
+                g = jnp.zeros((0,))
+            return cons, g
+
+        return jax.jit(post)
+
     def _stats(self, st: State, solve_time: float) -> ExecutionStats:
         p = self.prob
+        if self._post_jit is None:
+            self._post_jit = self._build_post_jit()
+        cons_d, g_d = self._post_jit(st)
+        # one bulk host fetch instead of a dozen tunnel round-trips
+        (x, con_scale, obj_scale_a, y_raw, zl_raw, zu_raw, cons, g) = (
+            jax.device_get((st.x[: p.n], st.scal.con_scale,
+                            st.scal.obj_scale, st.y, st.zl[: p.n],
+                            st.zu[: p.n], cons_d, g_d)))
         # unscale (utils.jl:8-65 + unpack_* in nlpmodels.jl)
-        obj_scale = float(st.scal.obj_scale)
-        x = np.asarray(st.x[: p.n])
-        con_scale = np.asarray(st.scal.con_scale)
-        y = np.asarray(st.y) * con_scale * (p.sign / obj_scale)
-        zl = np.asarray(st.zl[: p.n]) / obj_scale
-        zu = np.asarray(st.zu[: p.n]) / obj_scale
-        theta = st.theta if p.model.is_parametric else None
+        obj_scale = float(obj_scale_a)
+        x = np.asarray(x)
+        con_scale = np.asarray(con_scale)
+        y = np.asarray(y_raw) * con_scale * (p.sign / obj_scale)
+        zl = np.asarray(zl_raw) / obj_scale
+        zu = np.asarray(zu_raw) / obj_scale
         if p.fixed_mask.any():
-            # recover bound multipliers on fixed variables
-            # (update_z!, nlpmodels.jl:1075-1087)
-            xj = jnp.asarray(x)
-            g = np.asarray(p._grad(xj, theta))
-            if p.m > 0:
-                jtv = np.asarray(p._jac(xj, theta)).T @ (np.asarray(st.y) * con_scale)
-                g = g + jtv
             fm = p.fixed_mask
             zl[fm] = np.maximum(0.0, p.sign * g[fm])
             zu[fm] = np.maximum(0.0, -p.sign * g[fm])
-        cons = np.asarray(p._cons(jnp.asarray(x), theta)) if p.m else np.zeros(0)
+        cons = np.asarray(cons) if p.m else np.zeros(0)
+        (k, obj_cnt, grad_cnt, con_cnt, jac_cnt, hess_cnt, fact_cnt,
+         back_cnt, t_cnt, status, obj_val, inf_du, inf_pr) = jax.device_get(
+            (st.k, st.obj_cnt, st.grad_cnt, st.con_cnt, st.jac_cnt,
+             st.hess_cnt, st.factorization_cnt, st.backsolve_cnt, st.t_cnt,
+             st.status, st.obj_val, st.inf_du, st.inf_pr))
         counters = {
-            "k": int(st.k),
-            "obj_cnt": int(st.obj_cnt),
-            "grad_cnt": int(st.grad_cnt),
-            "con_cnt": int(st.con_cnt),
-            "jac_cnt": int(st.jac_cnt),
-            "hess_cnt": int(st.hess_cnt),
-            "factorization_cnt": int(st.factorization_cnt),
-            "backsolve_cnt": int(st.backsolve_cnt),
-            "t": int(st.t_cnt),
+            "k": int(k),
+            "obj_cnt": int(obj_cnt),
+            "grad_cnt": int(grad_cnt),
+            "con_cnt": int(con_cnt),
+            "jac_cnt": int(jac_cnt),
+            "hess_cnt": int(hess_cnt),
+            "factorization_cnt": int(fact_cnt),
+            "backsolve_cnt": int(back_cnt),
+            "t": int(t_cnt),
         }
         return ExecutionStats(
-            status=Status(int(st.status)),
+            status=Status(int(status)),
             solution=x,
-            objective=p.sign * float(st.obj_val) / obj_scale,
+            objective=p.sign * float(obj_val) / obj_scale,
             constraints=cons,
             multipliers=y,
             multipliers_L=zl,
             multipliers_U=zu,
-            iter=int(st.k),
+            iter=int(k),
             counters=counters,
-            dual_feas=float(st.inf_du),
-            primal_feas=float(st.inf_pr),
+            dual_feas=float(inf_du),
+            primal_feas=float(inf_pr),
             solve_time=solve_time,
         )
 
