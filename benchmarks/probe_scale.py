@@ -38,6 +38,10 @@ def main(sizes=(600, 1500, 3000, 5000), block=None):
             st2 = step(st)
         jax.block_until_ready(st2)
         t_step = (time.time() - t1) / 5
+        # full solve, timed on device (stats.solve_time excludes host-side
+        # stats extraction — the round-2 'blow-up' numbers did not)
+        stats = sv.solve_jitted()
+        stats = sv.solve_jitted()
         print(json.dumps({
             "nb": nb, "N": bs.N, "b": bs.b, "bw": bs.bw,
             "device": dev,
@@ -46,6 +50,12 @@ def main(sizes=(600, 1500, 3000, 5000), block=None):
             "t_step_ms": round(t_step * 1e3, 2),
             "t_jac_ms": round(cb["t_jac"] * 1e3, 2),
             "t_hess_ms": round(cb["t_hess"] * 1e3, 2),
+            "solve_s": round(stats.solve_time, 3),
+            "iters": int(stats.iter),
+            "ms_per_iter": round(stats.solve_time / max(int(stats.iter), 1)
+                                 * 1e3, 2),
+            "status": int(stats.status),
+            "backsolves": stats.counters["backsolve_cnt"],
             "setup_s": round(time.time() - t0, 1),
         }), flush=True)
 

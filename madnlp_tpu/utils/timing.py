@@ -39,19 +39,51 @@ def timing_callbacks(solver, ntrials: int = 10) -> dict:
 
 
 def timing_linear_solver(solver, ntrials: int = 10) -> dict:
-    """Average seconds for build+factorize and for one refined backsolve."""
+    """Average seconds for build+factorize and for one refined backsolve.
+
+    Dispatch-corrected: each measurement chains ``ntrials`` DEPENDENT
+    applications inside ONE jit and divides, so the per-call cost is the
+    true on-device marginal — a single small dispatch over the axon
+    tunnel costs ~2-4 ms, which used to swamp ms-scale kernels measured
+    one call at a time (round-3 postmortem, docs/benchmarks.md)."""
     kern = solver.kernel
     st = solver.state if solver.state is not None else solver._init_fn()
-    dl, du_ = kern.slacks(st.x, st.xl, st.xu)
     zero = jnp.zeros(())
-
-    fact = jax.jit(lambda: kern._factorize(st, zero, zero))
-    ctx = fact()
     rhs = kern._aug_rhs(st, st.c, st.mu)
-    solve = jax.jit(lambda: kern.kkt.solve_refine(ctx, rhs)[0])
+
+    @jax.jit
+    def fact_chain():
+        # thread a scalar through del_w so the factorizations are data-
+        # dependent and cannot be CSE'd into one
+        dep = zero
+        for _ in range(ntrials):
+            ctx = kern._factorize(st, dep * 1e-30, zero)
+            dep = ctx.factor.d[0]
+        return ctx
+
+    ctx = fact_chain()
+    jax.block_until_ready(ctx)
+    t0 = time.time()
+    ctx = fact_chain()
+    jax.block_until_ready(ctx)
+    t_fact = (time.time() - t0) / ntrials
+
+    @jax.jit
+    def solve_chain():
+        r = rhs
+        for _ in range(ntrials):
+            r = kern.kkt.solve_refine(ctx, r)[0]
+        return r
+
+    out = solve_chain()
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = solve_chain()
+    jax.block_until_ready(out)
+    t_solve = (time.time() - t0) / ntrials
     return {
-        "t_build_factorize": _avg(fact, ntrials),
-        "t_backsolve": _avg(solve, ntrials),
+        "t_build_factorize": t_fact,
+        "t_backsolve": t_solve,
     }
 
 
