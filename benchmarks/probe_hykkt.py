@@ -27,10 +27,8 @@ def main(device="cpu", nb=600):
     def run(**kw):
         sv = MadNLPSolver(model, kkt_system=KKTSystem.DENSE, **kw)
         st = sv.solve_jitted()  # compile+warm
-        t0 = time.time()
         st = sv.solve_jitted()
-        wall = time.time() - t0
-        return st, wall
+        return st, st.solve_time  # device wall (round-3 timing fix)
 
     ref, wall_ref = run(linear_solver=LinearSolver.LDL, dtype="float32")
     print(json.dumps({"cfg": "LDL-f32-ref", "iter": int(ref.iter),
