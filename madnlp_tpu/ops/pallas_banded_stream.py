@@ -13,10 +13,14 @@ columns, which is exactly the window invariant:
     fully updated by all columns < j; after j is written back, its slot
     is reloaded with column j+bw+1.
 
-DMAs are issued per column and waited synchronously — a column's compute
-(two MXU GEMMs + a b-step pivot recursion) dwarfs the ~100 KB copies.
+DMA schedule (round-3, pipelined — the per-kernel docstrings below are
+authoritative): the factorize streams columns through ``bw+2`` rotating
+VMEM slots with *asynchronous* start/wait pairs — loads ride under the
+diagonal-block panel factorization and writebacks are waited one column
+later, every start matched by exactly one wait with clamped HBM indices;
+the solve sweeps double-buffer their block loads through 2 slots.
 
-Design rules (round-2):
+Design rules:
 
   * the factorize loop is statically UNROLLED over the ``bw+1`` window
     slots (a ``fori_loop`` over column *groups*), so every VMEM window

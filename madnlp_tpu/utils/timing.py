@@ -51,6 +51,16 @@ def timing_linear_solver(solver, ntrials: int = 10) -> dict:
     zero = jnp.zeros(())
     rhs = kern._aug_rhs(st, st.c, st.mu)
 
+    def _dep_scalar(ctx):
+        # a float scalar drawn from the context to make successive
+        # factorizations data-dependent (blocks CSE); works for any
+        # context layout — LDLᵀ's ctx.factor.d as much as Schur's
+        # SchurFactor (Lb/db/G/S_fac), which has no .d field
+        for leaf in jax.tree_util.tree_leaves(ctx):
+            if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+                return jnp.asarray(leaf).reshape(-1)[0]
+        return jnp.zeros(())
+
     @jax.jit
     def fact_chain():
         # thread a scalar through del_w so the factorizations are data-
@@ -58,7 +68,7 @@ def timing_linear_solver(solver, ntrials: int = 10) -> dict:
         dep = zero
         for _ in range(ntrials):
             ctx = kern._factorize(st, dep * 1e-30, zero)
-            dep = ctx.factor.d[0]
+            dep = _dep_scalar(ctx)
         return ctx
 
     ctx = fact_chain()

@@ -50,6 +50,19 @@ def test_timing_api():
         assert key in t and t[key] >= 0.0
 
 
+def test_timing_api_schur():
+    """timing_linear_solver must work for two-stage/Schur contexts too —
+    their SchurFactor has no ``.d`` field (ADVICE r3 regression)."""
+    from madnlp_tpu import KKTSystem
+    from madnlp_tpu.models.instances import twostage
+
+    model, ts = twostage.build(N=4, nv=4, nd=2, ms=2, n_eq=1)
+    solver = MadNLPSolver(model, kkt_system=KKTSystem.SCHUR, schur_structure=ts)
+    solver.solve()
+    t = timing_linear_solver(solver, ntrials=2)
+    assert t["t_build_factorize"] >= 0.0 and t["t_backsolve"] >= 0.0
+
+
 def test_unknown_option_warns_and_ignores():
     """Reference behavior: unknown option keys warn and are ignored
     (src/IPM/options.jl:243-299; test/madnlp_test.jl:305-312)."""

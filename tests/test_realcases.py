@@ -34,7 +34,8 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # Budgets are the MEASURED default-config counts + 3 (VERDICT r2 #6) —
 # measured 2026-08 (round 3): case9=12, case14=9, case30=21, case57=12,
 # case118=15; the full measured-vs-published table is in
-# docs/benchmarks.md ("Real-case trajectories").
+# docs/benchmarks.md ("Real-case trajectories"), which also records why
+# the comparison column is objectives, not iteration counts.
 CASES = {
     "case9": (5296.69, 15),
     "case14": (8081.53, 12),
