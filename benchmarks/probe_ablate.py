@@ -1,0 +1,199 @@
+"""Per-phase attribution of the flagship iteration (VERDICT r3 next #1/#6).
+
+Two independent, dispatch-corrected measurements, both free of the ~2-4 ms
+tunnel latency that corrupted the round-3 per-phase estimates:
+
+1. CHAINED MARGINALS — each phase (every callback, factorize, one
+   backsolve, one operator mul, one full refined solve) is timed as N
+   *dependent* applications inside ONE jit, divided by N. These use the
+   real solver state/context at the initial point, so the loop structure
+   and data are exactly the flagship's. The residual
+   ``step_logic = full_step - callbacks - factorize - refine`` is the
+   line-search/barrier/filter/norm bookkeeping.
+
+2. STRUCTURE-PRESERVING ABLATIONS — the same 25-iteration ``fori_loop``
+   (one dispatch) re-run with (a) Richardson stopped after one sweep but
+   ALWAYS reporting converged (loose tol; avoids the δ-ladder
+   refactorizations a hard ``max_iter=1`` cap triggers, which changed
+   the loop structure and invalidated the diff) and (b) the XLA band
+   backend. Factorization counts are printed so any structure drift is
+   visible rather than silent.
+
+Usage: python -m benchmarks.probe_ablate [nb600] [--iters 25]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _chain_time(make_step, x0, n=8, reps=3):
+    """Median seconds per application of ``make_step`` chained n times
+    dependently inside one jit."""
+
+    @jax.jit
+    def run(x):
+        for _ in range(n):
+            x = make_step(x)
+        return x
+
+    out = jax.block_until_ready(run(x0))
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = jax.block_until_ready(run(x0))
+        walls.append(time.time() - t0)
+    walls.sort()
+    return walls[len(walls) // 2] / n
+
+
+def chained_marginals(solver, n=8):
+    """Per-phase on-device marginals at the flagship state."""
+    solver._build_solve_jit()
+    kern = solver.kernel
+    p = solver.prob
+    st = solver.state if solver.state is not None else solver._init_fn()
+    jax.block_until_ready(st)
+    theta = st.theta if p.model.is_parametric else None
+    scal, y = st.scal, st.y
+    zero = jnp.zeros(())
+
+    def dep(v):
+        """Fold an array into a tiny scalar perturbation (data dependence)."""
+        leaves = [l for l in jax.tree_util.tree_leaves(v)
+                  if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+        s = sum(jnp.asarray(l).reshape(-1)[0] for l in leaves)
+        return s * 1e-30
+
+    out = {}
+    w0 = st.x
+    out["obj"] = _chain_time(
+        lambda w: w + p.eval_obj(scal, w, theta) * 1e-30, w0, n)
+    out["grad"] = _chain_time(
+        lambda w: w + dep(p.eval_grad(scal, w, theta)), w0, n)
+    out["cons"] = _chain_time(
+        lambda w: w + dep(p.eval_cons(scal, w, theta)), w0, n)
+    out["jac"] = _chain_time(
+        lambda w: w + dep(p.eval_jac(scal, w, theta)), w0, n)
+    out["hess"] = _chain_time(
+        lambda w: w + dep(p.eval_lag_hess(scal, w, y, theta)), w0, n)
+
+    # factorize chain (dependent through del_w)
+    def fact(d):
+        ctx = kern._factorize(st, d, zero)
+        return dep(ctx)
+
+    out["factorize"] = _chain_time(fact, zero, n)
+
+    # context for the solve chains
+    ctx = jax.jit(lambda: kern._factorize(st, zero, zero))()
+    jax.block_until_ready(ctx)
+    rhs = jax.jit(lambda: kern._aug_rhs(st, st.c, st.mu))()
+    jax.block_until_ready(rhs)
+
+    out["solve1"] = _chain_time(
+        lambda r: kern.kkt.solve(ctx, r), rhs, n)
+    out["mul1"] = _chain_time(
+        lambda r: kern.kkt.mul(ctx, r), rhs, n)
+    out["refined_solve"] = _chain_time(
+        lambda r: kern.kkt.solve_refine(ctx, r)[0], rhs, n)
+
+    # one full regular_step chained (the ground truth per-iter cost)
+    body = solver._loop_body
+    out["full_step"] = _chain_time(lambda s: body(s), st, max(2, n // 2))
+    return out
+
+
+ABLATIONS = {
+    "refine_1sweep": {"refine_loose": True},
+    "xla_band": {"banded_backend": "xla"},
+}
+
+
+def make_solver(model, **overrides):
+    from madnlp_tpu import LinearSolver, MadNLPSolver
+    from madnlp_tpu.utils.options import RichardsonOptions
+
+    kw = dict(overrides)
+    if kw.pop("refine_loose", False):
+        # one sweep, always reported converged: preserves the loop
+        # structure (no δ-ladder retries), removes the extra sweeps
+        kw["richardson"] = RichardsonOptions(
+            max_iter=10, tol=0.5, acceptable_tol=1.0)
+    kw.setdefault("banded_backend", "pallas")
+    return MadNLPSolver(
+        model, dtype="float32",
+        linear_solver=__import__("madnlp_tpu").LinearSolver.BANDED, **kw)
+
+
+def fori_time(solver, iters, reps=3):
+    solver._build_solve_jit()
+    body = solver._loop_body
+
+    @jax.jit
+    def run(st):
+        return jax.lax.fori_loop(0, iters, lambda i, s: body(s), st)
+
+    st0 = solver._init_fn()
+    jax.block_until_ready(st0)
+    t0 = time.time()
+    out = jax.block_until_ready(run(st0))
+    compile_s = time.time() - t0
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = jax.block_until_ready(run(st0))
+        walls.append(time.time() - t0)
+    walls.sort()
+    med = walls[len(walls) // 2]
+    return {
+        "ms_per_iter": round(med / iters * 1e3, 2),
+        "spread_pct": round(100 * (walls[-1] - walls[0]) / med, 1),
+        "compile_s": round(compile_s, 1),
+        "iter_reached": int(out.k),
+        "status": int(out.status),
+        "backsolves": int(out.backsolve_cnt),
+        "factorizations": int(out.factorization_cnt),
+    }
+
+
+def main(spec="nb600", iters=25):
+    from benchmarks.probe_profile import make_model
+
+    model = make_model(spec)
+
+    solver = make_solver(model)
+    marg = chained_marginals(solver)
+    ms = {k: round(v * 1e3, 3) for k, v in marg.items()}
+    print(json.dumps({"chained_marginals_ms": ms}), flush=True)
+
+    callbacks = ms["jac"] + ms["hess"] + ms["grad"] + ms["obj"] + ms["cons"]
+    attribution = {
+        "callbacks_ms": round(callbacks, 2),
+        "factorize_ms": ms["factorize"],
+        "refined_solve_ms": ms["refined_solve"],
+        "step_logic_residual_ms": round(
+            ms["full_step"] - callbacks - ms["factorize"]
+            - ms["refined_solve"], 2),
+        "full_step_ms": ms["full_step"],
+    }
+    print(json.dumps({"attribution": attribution}), flush=True)
+
+    base = fori_time(solver, iters)
+    print(json.dumps({"config": "full", **base}), flush=True)
+    for name, overrides in ABLATIONS.items():
+        rec = fori_time(make_solver(model, **overrides), iters)
+        rec["delta_vs_full_ms"] = round(
+            rec["ms_per_iter"] - base["ms_per_iter"], 2)
+        print(json.dumps({"config": name, **rec}), flush=True)
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    iters = 25
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    main(args[0] if args else "nb600", iters)

@@ -278,6 +278,12 @@ class MadNLPOptions:
         if b is None:
             return 256 if N >= 2048 else (128 if N >= 1024 else 64)
         return b
+    banded_partitions: int = 0     # SPIKE/arrowhead-over-band partitioning of
+    # the banded factorization (ops/spike.py): 0 = off, -1 = auto (enable
+    # when the band is long relative to its width, N ≥ 16·w, with
+    # P ≈ √(N/w)), >0 = explicit partition count.  Cuts the sequential
+    # pivot chain (the latency wall of the banded kernel) to ≈ 2√(N·w)
+    # for ~3× the flops; pays off at nb ≥ 3000 ACOPF scale.
     banded_backend: str = "auto"   # "auto" | "xla" | "pallas" — "auto" uses
     # the fused Pallas VMEM kernels (ops/pallas_banded.py) on TPU when the
     # band fits VMEM, the XLA fori_loop otherwise
