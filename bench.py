@@ -6,13 +6,17 @@ Default run (``python bench.py``):
    the reference's pglib benchmark family) solved on-chip to tol=1e-8
    with the objective asserted against the published optimum 129660.70
    $/hr: an externally-anchored correctness gate inside the bench.
-2. The flagship synthetic nb=600 ACOPF (case1354-variable-count scale)
-   — the primary iter/s metric, comparable across rounds.
-3. Roofline/MFU accounting for the banded factorization (BASELINE.md:30)
+2. PRIMARY (round 4+): the REAL case118x4 ring interconnection — four
+   copies of the verified IEEE 118-bus network tied into one system
+   (n=1376, case1354 variable count; matpower.tile_case), objective
+   anchored at exactly 4x the published optimum.
+3. The flagship synthetic nb=600 ACOPF — the cross-round comparable
+   (r1 19.4* / r2 14.0* / r3 75.2; * = artifact-dominated timing).
+4. Roofline/MFU accounting for the banded factorization (BASELINE.md:30)
    from analytic FLOP counts (madnlp_tpu/utils/flops.py).
 
-``python bench.py case57`` (or case9/14/30/118, or nb3000) re-points the
-primary metric at that case.
+``python bench.py case57`` (or case9/14/30/118, case118x8, or nb3000)
+re-points the primary metric at that case.
 
 ``vs_baseline`` is the measured wall-clock ratio of the *identical* solve
 run on the host CPU backend (the honest single-machine CPU reference,
@@ -35,16 +39,25 @@ def _make_model(spec):
     if spec.startswith("case"):
         from madnlp_tpu.models import matpower
 
+        base, _, mult = spec.partition("x")
         case = matpower.parse_case(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "tests", "data", f"{spec}.m"))
-        return matpower.build_acopf(case, sparse=True), PUBLISHED.get(spec)
+                         "tests", "data", f"{base}.m"))
+        pub = PUBLISHED.get(base)
+        if mult:
+            # tiled REAL multi-area interconnection (matpower.tile_case):
+            # by symmetry the optimum is exactly K x the published
+            # single-area optimum — external anchor retained at scale
+            K = int(mult)
+            case = matpower.tile_case(case, K, ties="ring")
+            pub = pub * K if pub else None
+        return matpower.build_acopf(case, sparse=True), pub
     from madnlp_tpu.models.instances import opf
 
     return opf.build_sparse(nb=int(spec[2:]), seed=0), None
 
 
-def main(spec="nb600"):
+def main(spec="case118x4"):
     import jax
 
     # allow both the TPU and the host CPU backend in this process
@@ -111,6 +124,17 @@ def main(spec="nb600"):
     iters = max(stats.iter, 1)
     iter_per_s = iters / t_dev
 
+    # 3) cross-round comparable (flagship synthetic nb=600)
+    flagship_note = ""
+    if spec == "case118x4":
+        fmodel, _ = _make_model("nb600")
+        fsolver = make_solver(fmodel)
+        fstats, ft, _ = timed_solve(fsolver, repeats=3)
+        flagship_note = (
+            f"nb600 synthetic flagship: {fstats.iter / ft:.1f} iter/s "
+            f"(r3 comparable: 75.2); "
+        )
+
     # 3) roofline / MFU of the banded factorization (BASELINE.md:30)
     lin = timing_linear_solver(solver, ntrials=5)
     bs = solver.kernel.kkt.bstruct
@@ -146,7 +170,8 @@ def main(spec="nb600"):
                 "unit": f"iter/s ({spec} ACOPF n={model.n} m={model.m}, "
                 f"tol=1e-8 f32+Ruiz+IR, {iters} iters, device={device}, "
                 f"median of 5 solves, max-min spread {100 * spread:.0f}%, "
-                f"flagship sparse+banded config; {real_note}{mfu_note}"
+                f"flagship sparse+banded config; {real_note}{flagship_note}"
+                f"{mfu_note}"
                 f"vs_baseline = cpu_wall/device_wall of the identical "
                 f"solve, see docs/benchmarks.md)",
                 "vs_baseline": (
@@ -158,4 +183,4 @@ def main(spec="nb600"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "nb600")
+    main(sys.argv[1] if len(sys.argv) > 1 else "case118x4")

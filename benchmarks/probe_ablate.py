@@ -30,24 +30,37 @@ import jax
 import jax.numpy as jnp
 
 
-def _chain_time(make_step, x0, n=8, reps=3):
-    """Median seconds per application of ``make_step`` chained n times
-    dependently inside one jit."""
+def _chain_time(make_step, x0, n=8, reps=3, n_lo=None):
+    """DIFFERENTIAL chained marginal: time n_lo and n dependent
+    applications in one jit each, return (t_n − t_lo)/(n − n_lo).
 
-    @jax.jit
-    def run(x):
-        for _ in range(n):
-            x = make_step(x)
-        return x
+    A single chain divided by n still carries the whole-dispatch
+    overhead/n — measured ~30 ms for programs closing over the full
+    solver state over the axon tunnel, which swamped sub-ms callbacks
+    (round-4 first attempt).  The two-length slope cancels it exactly."""
+    if n_lo is None:
+        n_lo = max(1, n // 4)
 
-    out = jax.block_until_ready(run(x0))
-    walls = []
-    for _ in range(reps):
-        t0 = time.time()
+    def make_run(m):
+        @jax.jit
+        def run(x):
+            for _ in range(m):
+                x = make_step(x)
+            return x
+        return run
+
+    walls = {}
+    for m in (n_lo, n):
+        run = make_run(m)
         out = jax.block_until_ready(run(x0))
-        walls.append(time.time() - t0)
-    walls.sort()
-    return walls[len(walls) // 2] / n
+        ws = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = jax.block_until_ready(run(x0))
+            ws.append(time.time() - t0)
+        ws.sort()
+        walls[m] = ws[len(ws) // 2]
+    return (walls[n] - walls[n_lo]) / (n - n_lo)
 
 
 def chained_marginals(solver, n=8):
@@ -70,16 +83,17 @@ def chained_marginals(solver, n=8):
 
     out = {}
     w0 = st.x
+    nc = 4 * n  # callbacks are sub-ms: long chains for a clean slope
     out["obj"] = _chain_time(
-        lambda w: w + p.eval_obj(scal, w, theta) * 1e-30, w0, n)
+        lambda w: w + p.eval_obj(scal, w, theta) * 1e-30, w0, nc)
     out["grad"] = _chain_time(
-        lambda w: w + dep(p.eval_grad(scal, w, theta)), w0, n)
+        lambda w: w + dep(p.eval_grad(scal, w, theta)), w0, nc)
     out["cons"] = _chain_time(
-        lambda w: w + dep(p.eval_cons(scal, w, theta)), w0, n)
+        lambda w: w + dep(p.eval_cons(scal, w, theta)), w0, nc)
     out["jac"] = _chain_time(
-        lambda w: w + dep(p.eval_jac(scal, w, theta)), w0, n)
+        lambda w: w + dep(p.eval_jac(scal, w, theta)), w0, nc)
     out["hess"] = _chain_time(
-        lambda w: w + dep(p.eval_lag_hess(scal, w, y, theta)), w0, n)
+        lambda w: w + dep(p.eval_lag_hess(scal, w, y, theta)), w0, nc)
 
     # factorize chain (dependent through del_w)
     def fact(d):
@@ -103,12 +117,15 @@ def chained_marginals(solver, n=8):
 
     # one full regular_step chained (the ground truth per-iter cost)
     body = solver._loop_body
-    out["full_step"] = _chain_time(lambda s: body(s), st, max(2, n // 2))
+    out["full_step"] = _chain_time(lambda s: body(s), st, 6, n_lo=2)
     return out
 
 
+# NOTE round-4 finding: a hard Richardson max_iter=1 cap is NOT a valid
+# refinement ablation — unconverged solves trigger the δ-ladder (13 extra
+# factorizations at nb=600), changing the loop structure. Refinement cost
+# comes from the chained refined_solve vs solve1 marginals instead.
 ABLATIONS = {
-    "refine_1sweep": {"refine_loose": True},
     "xla_band": {"banded_backend": "xla"},
 }
 

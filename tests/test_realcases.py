@@ -58,6 +58,35 @@ def test_real_case_published_objective(name):
     assert stats.iter <= max_iter
 
 
+def test_tiled_case118_x4_decoupled_objective():
+    """REAL data at case1354 variable count (n=1376): four independent
+    copies of the verified IEEE 118-bus system solved as ONE NLP must hit
+    exactly 4x the published single-area optimum — the exact external
+    anchor for the large-scale real-case series (docs/benchmarks.md
+    'Real-case trajectories')."""
+    case = matpower.parse_case(os.path.join(DATA, "case118.m"))
+    model = matpower.build_acopf(matpower.tile_case(case, 4, ties=None),
+                                 sparse=True)
+    assert model.n == 1376
+    stats = madnlp(model, print_level="error")
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    assert stats.objective == pytest.approx(4 * 129660.70, rel=1e-5)
+    assert stats.iter <= 18  # measured 15 (budget = measured + 3)
+
+
+def test_tiled_case118_x4_ring_interconnection():
+    """Genuinely coupled 4-area interconnection (tie-lines, one global
+    slack).  By symmetry the optimum carries zero tie flow and equals 4x
+    the single-area optimum — still externally anchored."""
+    case = matpower.parse_case(os.path.join(DATA, "case118.m"))
+    model = matpower.build_acopf(matpower.tile_case(case, 4, ties="ring"),
+                                 sparse=True)
+    stats = madnlp(model, print_level="error")
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    assert stats.objective == pytest.approx(4 * 129660.70, rel=1e-5)
+    assert stats.iter <= 18  # measured 15
+
+
 def test_case118_sparse_dense_parity():
     """Golden rule on the largest real case: the sparse branch-local
     derivative path must reproduce the dense-AD trajectory exactly."""
