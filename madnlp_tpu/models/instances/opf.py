@@ -288,12 +288,17 @@ def build(nb: int = 118, seed: int = 0, parametric: bool = False,
     )
 
 
-def build_sparse(nb: int = 118, seed: int = 0):
+def build_sparse(nb: int = 118, seed: int = 0, parametric: bool = False):
     """Sparse ACOPF with **edge-local AD derivatives** — the SIMD-abstraction
     trick of ExaModels (the reference's GPU model front end, BASELINE.md):
     the Lagrangian is a sum of per-edge terms in 4 variables, so the sparse
     Jacobian/Hessian values are vmapped 4-point gradients / 4×4 AD Hessians
     over the edge list — nnz-sized evaluation, no dense AD anywhere.
+
+    ``parametric=True``: ``params`` is a scalar load-scaling factor
+    (multiplies Pd/Qd) — enables ``solve_batch`` multi-scenario batching
+    over the flagship sparse path (loads enter the constraints
+    additively, so every derivative callback is scale-independent).
 
     Identical instance data (same seed) as :func:`build`."""
     import jax
@@ -346,7 +351,7 @@ def build_sparse(nb: int = 118, seed: int = 0):
         va, vm, _, _ = split(x)
         return jnp.stack([va[eij], va[ejj], vm[eij], vm[ejj]], axis=1)  # (nl,4)
 
-    def cons(x):
+    def cons_scaled(x, scale):
         va, vm, pg, qg = split(x)
         flows = jax.vmap(edge_flows)(edge_z(x), gej, bej)  # (nl, 4)
         P = jnp.zeros(nb).at[eij].add(flows[:, 0]).at[ejj].add(flows[:, 1])
@@ -355,11 +360,19 @@ def build_sparse(nb: int = 118, seed: int = 0):
         Q = Q - Bdj * vm**2
         Pg = jnp.zeros(nb).at[gen_sel].add(pg)
         Qg = jnp.zeros(nb).at[gen_sel].add(qg)
-        return jnp.concatenate([P - Pg + Pdj, Q - Qg + Qdj])
+        return jnp.concatenate([P - Pg + scale * Pdj, Q - Qg + scale * Qdj])
 
-    def obj(x):
+    if parametric:
+        cons = cons_scaled
+    else:
+        def cons(x):
+            return cons_scaled(x, 1.0)
+
+    def obj_x(x):
         _, _, pg, _ = split(x)
         return jnp.sum(c2j * pg**2 + c1j * pg)
+
+    obj = (lambda x, p: obj_x(x)) if parametric else obj_x
 
     # ---- static sparse structure ----------------------------------------
     # edge jac entries: 4 outputs × 4 inputs per edge
@@ -428,6 +441,13 @@ def build_sparse(nb: int = 118, seed: int = 0):
     lvar[0] = uvar[0] = 0.0
     x0 = np.concatenate([np.zeros(nb), np.ones(nb), pg0, qg0])
 
+    if parametric:
+        # loads enter additively: derivative callbacks are scale-free
+        jac_p = lambda x, p: jac_coords(x)
+        hess_p = lambda x, y, ow, p: hess_coords(x, y, ow)
+    else:
+        jac_p, hess_p = jac_coords, hess_coords
+
     return SparseNLPModel(
         n=n,
         m=m,
@@ -436,13 +456,14 @@ def build_sparse(nb: int = 118, seed: int = 0):
         x0=x0,
         jac_rows=jac_rows,
         jac_cols=jac_cols,
-        jac_coords=jac_coords,
+        jac_coords=jac_p,
         hess_rows=hess_rows,
         hess_cols=hess_cols,
-        hess_coords=hess_coords,
+        hess_coords=hess_p,
         lvar=lvar,
         uvar=uvar,
         lcon=np.zeros(m),
         ucon=np.zeros(m),
+        params=np.ones(()) if parametric else None,
         name=f"synthetic_acopf_sparse_nb{nb}",
     )

@@ -259,8 +259,11 @@ def _poly_cols(C):
 
 
 def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
-                analytic: bool = True):
+                analytic: bool = True, parametric: bool = False):
     """Build the ACOPF NLP from a parsed case (see :func:`parse_case`).
+
+    ``parametric=True`` (sparse only): ``params`` is a scalar load-scale
+    multiplying Pd/Qd — enables ``solve_batch`` multi-scenario batching.
 
     For the dense form, ``analytic=True`` installs closed-form polar
     power-flow derivatives for the balance block (the dSbus_dV /
@@ -269,6 +272,7 @@ def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
     ``instances/opf.py::build`` for the Wirtinger derivation) plus
     branch-local AD for the thermal-limit rows; this replaces whole-model
     AD sweeps with O(nb²) elementwise ops."""
+    assert sparse or not parametric, "parametric mode requires sparse=True"
     d = _prepare(case)
     nb, ng = d["nb"], d["ng"]
     fbus, tbus = d["fbus"], d["tbus"]
@@ -314,7 +318,7 @@ def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
     vflows = jax.vmap(_branch_flows)
     vs2 = jax.vmap(_branch_s2)
 
-    def cons(x):
+    def cons_scaled(x, scale):
         va, vm, pg, qg = split(x)
         flows = vflows(branch_z(va, vm, fj, tj), constsj)  # (nl, 4)
         P = jnp.zeros(nb).at[fj].add(flows[:, 0]).at[tj].add(flows[:, 1])
@@ -323,7 +327,7 @@ def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
         Q = Q - bshj * vm**2
         Pg = jnp.zeros(nb).at[gsel].add(pg)
         Qg = jnp.zeros(nb).at[gsel].add(qg)
-        out = [P - Pg + Pdj, Q - Qg + Qdj]
+        out = [P - Pg + scale * Pdj, Q - Qg + scale * Qdj]
         if nlim:
             s2 = vs2(branch_z(va, vm, lim_f, lim_t), lim_c)   # (nlim, 2)
             out.append(s2.reshape(-1))
@@ -331,6 +335,9 @@ def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
             out.append(va[jnp.asarray(fbus[ang_sel])]
                        - va[jnp.asarray(tbus[ang_sel])])
         return jnp.concatenate(out)
+
+    def cons(x):
+        return cons_scaled(x, 1.0)
 
     # bounds
     lvar = np.concatenate([np.full(nb, -2 * np.pi), d["vmin"],
@@ -561,6 +568,22 @@ def build_acopf(case: dict, sparse: bool = True, branch_limits: bool = True,
             parts.append(Hl[:, tril_i, tril_j].reshape(-1))
         return jnp.concatenate(parts)
 
+    if parametric:
+        # loads enter the balance rows additively: every derivative
+        # callback is scale-independent (solve_batch multi-scenario OPF)
+        return SparseNLPModel(
+            n=n, m=m,
+            obj=lambda x, p: obj(x),
+            cons=cons_scaled,
+            x0=x0,
+            jac_rows=jac_rows, jac_cols=jac_cols,
+            jac_coords=lambda x, p: jac_coords(x),
+            hess_rows=hess_rows, hess_cols=hess_cols,
+            hess_coords=lambda x, y, ow, p: hess_coords(x, y, ow),
+            lvar=lvar, uvar=uvar, lcon=lcon, ucon=ucon,
+            params=np.ones(()),
+            name=f"acopf_{name}_sparse_parametric",
+        )
     return SparseNLPModel(
         n=n, m=m, obj=obj, cons=cons, x0=x0,
         jac_rows=jac_rows, jac_cols=jac_cols, jac_coords=jac_coords,

@@ -5,6 +5,7 @@ mesh per SURVEY.md §4's multi-device testing strategy."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -59,3 +60,50 @@ def test_batched_solve_sharded_over_mesh():
     np.testing.assert_allclose(
         summ["x"], batch_summary(solver.prob, st2)["x"], atol=1e-10
     )
+
+
+def test_parametric_sparse_acopf_batch():
+    """Load-scale parametric mode over the flagship sparse+banded path
+    (round-4: the batching probe's configuration — benchmarks/probe_batch):
+    scale=1 must reproduce the non-parametric trajectory exactly, and a
+    scenario batch must converge lane-wise."""
+    from madnlp_tpu import LinearSolver
+    from madnlp_tpu.models.instances import opf
+
+    ref = MadNLPSolver(
+        opf.build_sparse(nb=60, seed=0), dtype="float32",
+        linear_solver=LinearSolver.BANDED,
+    ).solve()
+    par = MadNLPSolver(
+        opf.build_sparse(nb=60, seed=0, parametric=True), dtype="float32",
+        linear_solver=LinearSolver.BANDED,
+    )
+    one = par.solve(params=jnp.ones(()))
+    assert one.iter == ref.iter
+    assert one.objective == pytest.approx(ref.objective, abs=1e-8)
+
+    st = par.solve_batch(jnp.linspace(0.95, 1.05, 4))
+    summ = batch_summary(par.prob, st)
+    assert (summ["status"] == int(Status.SOLVE_SUCCEEDED)).all()
+
+
+def test_parametric_matpower_case57():
+    """Same contract for the real-case front end (matpower parametric)."""
+    import os
+
+    from madnlp_tpu import LinearSolver
+    from madnlp_tpu.models import matpower
+
+    case = matpower.parse_case(os.path.join(
+        os.path.dirname(__file__), "data", "case57.m"))
+    ref = MadNLPSolver(
+        matpower.build_acopf(case, sparse=True), dtype="float32",
+        linear_solver=LinearSolver.BANDED,
+    ).solve()
+    par = MadNLPSolver(
+        matpower.build_acopf(case, sparse=True, parametric=True),
+        dtype="float32", linear_solver=LinearSolver.BANDED,
+    )
+    one = par.solve(params=jnp.ones(()))
+    assert one.iter == ref.iter
+    assert one.objective == pytest.approx(ref.objective, rel=1e-9)
