@@ -83,24 +83,32 @@ def chained_marginals(solver, n=8):
 
     out = {}
     w0 = st.x
-    nc = 4 * n  # callbacks are sub-ms: long chains for a clean slope
-    out["obj"] = _chain_time(
-        lambda w: w + p.eval_obj(scal, w, theta) * 1e-30, w0, nc)
-    out["grad"] = _chain_time(
-        lambda w: w + dep(p.eval_grad(scal, w, theta)), w0, nc)
-    out["cons"] = _chain_time(
-        lambda w: w + dep(p.eval_cons(scal, w, theta)), w0, nc)
-    out["jac"] = _chain_time(
-        lambda w: w + dep(p.eval_jac(scal, w, theta)), w0, nc)
-    out["hess"] = _chain_time(
-        lambda w: w + dep(p.eval_lag_hess(scal, w, y, theta)), w0, nc)
+
+    # ONE chain for the whole per-iteration callback set (jac + hess +
+    # grad + obj + cons): the attribution needs the TOTAL, and a single
+    # moderate chain keeps the unrolled program small enough for the
+    # remote compiler (a 96-long hessian chain wedged it for >1 h)
+    def all_callbacks(w):
+        s = p.eval_obj(scal, w, theta) * 1e-30
+        s = s + dep(p.eval_grad(scal, w, theta))
+        s = s + dep(p.eval_cons(scal, w, theta))
+        s = s + dep(p.eval_jac(scal, w, theta))
+        s = s + dep(p.eval_lag_hess(scal, w, y, theta))
+        return w + s
+
+    def rec(name, v):
+        out[name] = v
+        print(__import__("json").dumps({name + "_ms": round(v * 1e3, 3)}),
+              flush=True)
+
+    rec("all_callbacks", _chain_time(all_callbacks, w0, 32, n_lo=8))
 
     # factorize chain (dependent through del_w)
     def fact(d):
         ctx = kern._factorize(st, d, zero)
         return dep(ctx)
 
-    out["factorize"] = _chain_time(fact, zero, n)
+    rec("factorize", _chain_time(fact, zero, 16, n_lo=4))
 
     # context for the solve chains
     ctx = jax.jit(lambda: kern._factorize(st, zero, zero))()
@@ -108,16 +116,14 @@ def chained_marginals(solver, n=8):
     rhs = jax.jit(lambda: kern._aug_rhs(st, st.c, st.mu))()
     jax.block_until_ready(rhs)
 
-    out["solve1"] = _chain_time(
-        lambda r: kern.kkt.solve(ctx, r), rhs, n)
-    out["mul1"] = _chain_time(
-        lambda r: kern.kkt.mul(ctx, r), rhs, n)
-    out["refined_solve"] = _chain_time(
-        lambda r: kern.kkt.solve_refine(ctx, r)[0], rhs, n)
+    rec("solve1", _chain_time(lambda r: kern.kkt.solve(ctx, r), rhs, 16, n_lo=4))
+    rec("mul1", _chain_time(lambda r: kern.kkt.mul(ctx, r), rhs, 16, n_lo=4))
+    rec("refined_solve", _chain_time(
+        lambda r: kern.kkt.solve_refine(ctx, r)[0], rhs, 16, n_lo=4))
 
     # one full regular_step chained (the ground truth per-iter cost)
     body = solver._loop_body
-    out["full_step"] = _chain_time(lambda s: body(s), st, 6, n_lo=2)
+    rec("full_step", _chain_time(lambda s2: body(s2), st, 6, n_lo=2))
     return out
 
 
@@ -187,9 +193,9 @@ def main(spec="nb600", iters=25):
     ms = {k: round(v * 1e3, 3) for k, v in marg.items()}
     print(json.dumps({"chained_marginals_ms": ms}), flush=True)
 
-    callbacks = ms["jac"] + ms["hess"] + ms["grad"] + ms["obj"] + ms["cons"]
+    callbacks = ms["all_callbacks"]
     attribution = {
-        "callbacks_ms": round(callbacks, 2),
+        "callbacks_ms": callbacks,
         "factorize_ms": ms["factorize"],
         "refined_solve_ms": ms["refined_solve"],
         "step_logic_residual_ms": round(

@@ -38,32 +38,41 @@ def main(device="cpu", nb=600):
                       "iter_per_s": round(ref.iter / wall_ref, 2)}),
           flush=True)
 
-    for dtype in ("float32", "float64"):
-        for gamma in (None, 1e4, 1e5, 1e6):
-            for cg_tol in (1e-2, 1e-4, 1e-6):
-                try:
-                    st, wall = run(
-                        linear_solver=LinearSolver.HYKKT, dtype=dtype,
-                        hykkt_gamma=gamma, hykkt_cg_tol=cg_tol,
-                    )
-                    ok = st.status in (Status.SOLVE_SUCCEEDED,
-                                       Status.SOLVED_TO_ACCEPTABLE_LEVEL)
-                    print(json.dumps({
-                        "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
-                        "iter": int(st.iter), "status": int(st.status),
-                        "obj": float(st.objective),
-                        "obj_rel_err": abs(float(st.objective)
-                                           - float(ref.objective))
-                        / abs(float(ref.objective)),
-                        "iter_delta_vs_ref": int(st.iter) - int(ref.iter),
-                        "wall": round(wall, 2),
-                        "iter_per_s": round(st.iter / wall, 2),
-                        "ok": bool(ok),
-                    }), flush=True)
-                except Exception as e:  # noqa: BLE001 — sweep must finish
-                    print(json.dumps({
-                        "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
-                        "error": str(e)[:200]}), flush=True)
+    if device == "tpu":
+        # on-chip: walls only, for the configs the CPU trajectory sweep
+        # already validated (docs/benchmarks.md "HyKKT conclusion") —
+        # each config is a minutes-long whole-solver compile over the
+        # tunnel, so the 24-config grid is CPU-only
+        grid = [("float32", None, 1e-4), ("float32", None, 1e-2),
+                ("float64", None, 1e-4)]
+    else:
+        grid = [(d, g, c) for d in ("float32", "float64")
+                for g in (None, 1e4, 1e5, 1e6)
+                for c in (1e-2, 1e-4, 1e-6)]
+    for dtype, gamma, cg_tol in grid:
+        try:
+            st, wall = run(
+                linear_solver=LinearSolver.HYKKT, dtype=dtype,
+                hykkt_gamma=gamma, hykkt_cg_tol=cg_tol,
+            )
+            ok = st.status in (Status.SOLVE_SUCCEEDED,
+                               Status.SOLVED_TO_ACCEPTABLE_LEVEL)
+            print(json.dumps({
+                "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
+                "iter": int(st.iter), "status": int(st.status),
+                "obj": float(st.objective),
+                "obj_rel_err": abs(float(st.objective)
+                                   - float(ref.objective))
+                / abs(float(ref.objective)),
+                "iter_delta_vs_ref": int(st.iter) - int(ref.iter),
+                "wall": round(wall, 2),
+                "iter_per_s": round(st.iter / wall, 2),
+                "ok": bool(ok),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep must finish
+            print(json.dumps({
+                "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
+                "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
