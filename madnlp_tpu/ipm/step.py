@@ -370,11 +370,19 @@ class Kernel:
     # barrier update (monotone; barrier.jl:12-34)
     # ------------------------------------------------------------------
 
-    def update_barrier(self, st: State, sc):
+    def update_barrier(self, st: State, sc, ctx=None):
         b = self.opts.barrier
         if b == BarrierUpdate.MONOTONE:
             return self.update_barrier_monotone(st, sc)
         rule = "quality_function" if b == BarrierUpdate.QUALITY_FUNCTION else "loqo"
+        if ctx is not None:
+            # regular_step stubs the heavy state.ctx out of its carries;
+            # the adaptive barrier's probing solves (barrier.jl:260-302)
+            # need the stale factorization — re-inject it just here
+            stub = st.ctx
+            return update_barrier_adaptive(
+                self, st._replace(ctx=ctx), sc, rule
+            )._replace(ctx=stub)
         return update_barrier_adaptive(self, st, sc, rule)
 
     def update_barrier_monotone(self, st: State, sc):
@@ -739,6 +747,27 @@ class Kernel:
         eps = jnp.finfo(st.x.dtype).eps
         dl, du_ = self.slacks(st.x, st.xl, st.xu)
 
+        # Hoist the heavyweight loop-invariant leaves (the factorization
+        # context is ~10-20 MB) out of the while_loop carry and the
+        # accept/reject conditionals: XLA's buffer assignment copies
+        # carried leaves through cond boundaries, and the on-chip
+        # attribution (benchmarks/probe_steplogic, round 4) measured the
+        # line search at 4.3 ms/iter at nb=600 — almost all of it these
+        # copies, none of these fields being read inside the loop.  The
+        # SOC path receives ``ctx``/``d`` as closure arguments instead.
+        def _stub(t):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.zeros((), jnp.asarray(a).dtype), t
+            )
+
+        heavy = dict(
+            ctx=st.ctx, d=st.d, p=st.p, jac=st.jac, hess=st.hess,
+            qn=st.qn, RR=st.RR, backup_x=st.backup_x,
+            backup_y=st.backup_y, backup_c=st.backup_c,
+            log_row=st.log_row, soft_F=st.soft_F,
+        )
+        st = st._replace(**{k: _stub(v) for k, v in heavy.items()})
+
         theta = K.get_theta(st.c)
         varphi = K.get_varphi(st.obj_val, dl, du_, self.lb, self.ub, st.mu)
         varphi_d = K.get_varphi_d(st.f, dl, du_, self.lb, self.ub, d.xp, st.mu)
@@ -924,7 +953,7 @@ class Kernel:
             return st._replace(status=_i32(S.LINESEARCH_SUCCEEDED))
 
         st = lax.cond(accepted, post_accept, lambda s: s._replace(status=code), st)
-        return st
+        return st._replace(**heavy)
 
     # ------------------------------------------------------------------
     # regular! — one iteration (solver.jl:216-298)
@@ -933,6 +962,20 @@ class Kernel:
     def regular_step(self, st: State) -> State:
         o = self.opts
         p = self.prob
+
+        # Keep the heavyweight KKT context/direction OUT of the state that
+        # the inner conditionals carry (same reasoning as the hoist in
+        # filter_line_search: XLA buffer assignment copies cond-carried
+        # leaves, and ctx is ~10-20 MB — measured 4+ ms/iter of pure
+        # copies at nb=600 before round 4).  The freshly factorized
+        # ctx/d/p re-enter the state exactly once, at the end.
+        def _stub(t):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.zeros((), jnp.asarray(a).dtype), t
+            )
+
+        ctx_old, d_old, p_old = st.ctx, st.d, st.p
+        st = st._replace(ctx=_stub(st.ctx), d=_stub(st.d), p=_stub(st.p))
 
         # Jacobian refresh (skipped at k == 0: evaluated in initialize)
         if not o.jacobian_constant:
@@ -975,13 +1018,13 @@ class Kernel:
                 st = lax.cond(
                     st.k > 0, self._refresh_hessian, lambda s: s, st
                 )
-            # barrier
-            st = self.update_barrier(st, sc)
-            # rhs + inertia-corrected factorization + solve
+            # barrier (adaptive probing reuses the stale factorization)
+            st = self.update_barrier(st, sc, ctx=ctx_old)
+            # rhs + inertia-corrected factorization + solve; the fresh
+            # ctx/d ride as cond OUTPUTS (closure for the inner branches),
+            # never as carried state leaves
             p_rhs = self._aug_rhs(st, st.c, st.mu)
-            st = st._replace(p=p_rhs)
             ctx, d, ok, st = self.inertia_correction(st, p_rhs)
-            st = st._replace(d=d, ctx=ctx)
 
             def to_robust(st):
                 # solver.jl:646-649: k += 1 before switching
@@ -1035,9 +1078,16 @@ class Kernel:
                     st.status == _i32(S.LINESEARCH_SUCCEEDED), accept, handle_fail, st
                 )
 
-            return lax.cond(ok, line_search_and_accept, to_robust, st)
+            st = lax.cond(ok, line_search_and_accept, to_robust, st)
+            return st, ctx, d, p_rhs
 
-        return lax.cond(st.status == _i32(S.REGULAR), work, lambda s: s, st)
+        def skip(st):
+            return st, ctx_old, d_old, p_old
+
+        st, ctx_new, d_new, p_new = lax.cond(
+            st.status == _i32(S.REGULAR), work, skip, st
+        )
+        return st._replace(ctx=ctx_new, d=d_new, p=p_new)
 
     # ------------------------------------------------------------------
     # restore! — soft restoration, one iteration (solver.jl:300-411)

@@ -130,6 +130,10 @@ class SparseKKT(DenseKKT):
         )
         band_idx = self.bstruct.map(rows, cols)
         self.band_order, self.band_idx_sorted = _sorted_scatter_map(band_idx)
+        # gather-formulation assembly (round 4): the sorted scatter-add
+        # was the single largest slice of the on-chip factorize (4.7 of
+        # 5.6 ms at nb=600) — TPU scatters serialize; static gathers don't
+        self._band_gather = self.bstruct.gather_assembly(band_idx)
         self._bperm = jnp.asarray(self.bstruct.perm)
         self._biperm = jnp.asarray(self.bstruct.iperm)
         # backend: fused streaming Pallas kernels on TPU (band in HBM,
@@ -309,11 +313,14 @@ class SparseKKT(DenseKKT):
         bs = self.bstruct
         N = bs.N
         mode = self.opts.kkt_scaling
-        raw = bs.assemble(
-            self.band_idx_sorted, vals[self.band_order], vals.dtype,
-            sorted_indices=True,
-        )
+        raw = self._band_gather(vals, vals.dtype)
         raw_sym = banded_symmetrize(bs, raw)
+        # NOTE round-4 measured negative result (benchmarks probe,
+        # /tmp-class factorize split): running Ruiz/scale in f32 is
+        # SLOWER on chip than f64 (0.39 vs 0.02 ms — the f64 band
+        # reductions are already bandwidth-trivial); the factorize wall
+        # was the scatter-add ASSEMBLY (4.7 of 5.6 ms), fixed by the
+        # gather-formulation below, not by precision games.
         if mode == "k25" and d_analytic is not None:
             d = d_analytic
             d_perm = jnp.concatenate(

@@ -174,6 +174,123 @@ class BandStructure:
             flat = flat.at[jnp.asarray(self.pad_idx)].add(1.0)
         return flat.reshape(nbp, bw + 1, b, b).astype(dtype)
 
+    def gather_assembly(self, flat_idx: np.ndarray) -> "BandRowAssembly":
+        """Row-cohort assembly for the given static map — see
+        :class:`BandRowAssembly`."""
+        idx = np.concatenate([np.asarray(flat_idx, np.int64), self.pad_idx])
+        return BandRowAssembly(
+            idx, self.flat_size, (self.nbp, self.bw + 1, self.b, self.b),
+            n_pad_ones=len(self.pad_idx),
+        )
+
+
+class BandRowAssembly:
+    """Static COO→storage assembly built from ROW-granular ops.
+
+    On-chip primitive costs (measured, TPU v5e over PJRT, f64):
+    scalar scatter-add ≈ 0.17 µs/element and scalar gather ≈ 13 ns/element
+    — both essentially serial — while ROW (lane-width) gathers run at
+    ~31 ns/row and unique row scatters at ~0.13 µs/row.  The flagship
+    nb=600 band assembly as a plain sorted scatter-add (≈26k values) was
+    4.7 ms of the 5.6 ms build+factorize; a full inverse-map gather over
+    the 2.5M-slot storage was even worse (35 ms).  This class keeps every
+    output-sized operation row-granular:
+
+    1. contributors are grouped host-side by destination row (lane-width
+       chunks of the flat storage) and padded into per-row slots — split
+       into TWO cohorts by contributor count so the padding waste of the
+       few dense rows (K up to ~26) doesn't inflate the many sparse ones;
+    2. values land in their lanes via an iota==lane one-hot masked sum
+       (pure VPU, duplicates accumulate in f64 through the K-axis sum);
+    3. the finished rows are placed by ONE unique sorted row scatter.
+
+    The only scalar-irregular op left is the (Rows, K) contributor gather
+    (~50k elements after cohorting ≈ 0.7 ms); everything else vectorizes.
+    Identity-padding entries ride along as constant 1.0 contributors.
+    """
+
+    def __init__(self, idx: np.ndarray, flat_size: int, shape,
+                 n_pad_ones: int = 0):
+        idx = np.asarray(idx, dtype=np.int64)
+        b = int(shape[-1])
+        assert flat_size % b == 0
+        self.n_pad_ones = n_pad_ones
+        self.shape = shape
+        self.b = b
+        self.n_rows_total = flat_size // b
+        zero_slot = len(idx)  # ext value array appends [pad ones..., 0]
+
+        row_id = idx // b
+        lane = idx % b
+        order = np.argsort(row_id, kind="stable")
+        rows_sorted = row_id[order]
+        uniq, start, counts = np.unique(
+            rows_sorted, return_index=True, return_counts=True
+        )
+
+        # two-cohort split minimizing total padded-gather size
+        kmax = int(counts.max(initial=1))
+        ks = np.unique(counts)
+        best, k1 = None, kmax
+        for cand in ks:
+            nA = int((counts <= cand).sum())
+            cost = nA * cand + (len(counts) - nA) * kmax
+            if best is None or cost < best:
+                best, k1 = cost, int(cand)
+        in_a = counts <= k1
+
+        def build(sel, K):
+            rows = uniq[sel]
+            st = start[sel]
+            ct = counts[sel]
+            gidx = np.full((len(rows), K), zero_slot, dtype=np.int64)
+            lidx = np.zeros((len(rows), K), dtype=np.int64)
+            for k in range(K):
+                has = ct > k
+                gidx[has, k] = order[st[has] + k]
+                lidx[has, k] = lane[order[st[has] + k]]
+            return rows, gidx, lidx
+
+        rows_a, gidx_a, lidx_a = build(in_a, k1)
+        rows_b, gidx_b, lidx_b = build(~in_a, kmax)
+        # concatenate cohorts and order by destination row for the
+        # sorted unique row scatter
+        all_rows = np.concatenate([rows_a, rows_b])
+        perm = np.argsort(all_rows, kind="stable")
+        self._row_targets = jnp.asarray(all_rows[perm])
+        self._perm = jnp.asarray(perm)
+        self._gidx_a = jnp.asarray(gidx_a)
+        self._lidx_a = jnp.asarray(lidx_a)
+        self._gidx_b = jnp.asarray(gidx_b)
+        self._lidx_b = jnp.asarray(lidx_b)
+        self._n_a = len(rows_a)
+
+    def _rows(self, ext, gidx, lidx):
+        if gidx.shape[0] == 0:
+            return jnp.zeros((0, self.b), ext.dtype)
+        cv = ext[gidx]                                    # (R, K) gather
+        onehot = jnp.arange(self.b)[None, None, :] == lidx[:, :, None]
+        return jnp.sum(
+            jnp.where(onehot, cv[:, :, None], jnp.zeros((), ext.dtype)),
+            axis=1,
+        )
+
+    def __call__(self, vals: jax.Array, dtype) -> jax.Array:
+        ext = jnp.concatenate([
+            vals,
+            jnp.ones((self.n_pad_ones,), vals.dtype),
+            jnp.zeros((1,), vals.dtype),
+        ])
+        rows = jnp.concatenate([
+            self._rows(ext, self._gidx_a, self._lidx_a),
+            self._rows(ext, self._gidx_b, self._lidx_b),
+        ])[self._perm]
+        flat = jnp.zeros((self.n_rows_total, self.b), vals.dtype)
+        flat = flat.at[self._row_targets].set(
+            rows, indices_are_sorted=True, unique_indices=True
+        )
+        return flat.reshape(self.shape).astype(dtype)
+
 
 def banded_factorize(struct: BandStructure, band: jax.Array) -> BandedFactor:
     """Right-looking block-banded LDLᵀ; ``band`` from ``struct.assemble``."""
