@@ -269,7 +269,7 @@ class Kernel:
             and p.m > 0
         ):
             y_new, ls_ctx = self._least_squares_duals(st)
-            st = st._replace(y=y_new, ctx=ls_ctx)
+            st = st._replace(y=y_new, ctx=self.kkt.strip_context(ls_ctx))
             st = st._replace(jacl=self.kkt.jtprod(st.jac, st.y))
 
         theta = K.get_theta(st.c)
@@ -1079,7 +1079,9 @@ class Kernel:
                 )
 
             st = lax.cond(ok, line_search_and_accept, to_robust, st)
-            return st, ctx, d, p_rhs
+            # strip the iteration-local operator band BEFORE the cond
+            # boundary so it never rides a carried output
+            return st, self.kkt.strip_context(ctx), d, p_rhs
 
         def skip(st):
             return st, ctx_old, d_old, p_old
@@ -1087,7 +1089,7 @@ class Kernel:
         st, ctx_new, d_new, p_new = lax.cond(
             st.status == _i32(S.REGULAR), work, skip, st
         )
-        return st._replace(ctx=ctx_new, d=d_new, p=p_new)
+        return st._replace(ctx=self.kkt.strip_context(ctx_new), d=d_new, p=p_new)
 
     # ------------------------------------------------------------------
     # restore! — soft restoration, one iteration (solver.jl:300-411)
@@ -1173,7 +1175,7 @@ class Kernel:
                 ctx = self._factorize(st, jnp.zeros(()), jnp.zeros(()))
                 d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs)
                 st = st._replace(
-                    p=p_rhs, d=d2, ctx=ctx,
+                    p=p_rhs, d=d2, ctx=self.kkt.strip_context(ctx),
                     factorization_cnt=st.factorization_cnt + 1,
                     backsolve_cnt=st.backsolve_cnt + iters,
                     last_ir=iters,
@@ -1544,7 +1546,7 @@ class Kernel:
             p_rhs = self._aug_rhs_RR(st)
             st = st._replace(p=p_rhs)
             ctx, d, ok, st = self.inertia_correction(st, p_rhs, rr=True)
-            st = st._replace(d=d, ctx=ctx)
+            st = st._replace(d=d, ctx=self.kkt.strip_context(ctx))
 
             def fail(st):
                 return st._replace(status=_i32(S.RESTORATION_FAILED))
@@ -1611,7 +1613,7 @@ class Kernel:
                     def back_to_regular(st):
                         y_new, ls_ctx = self._least_squares_duals(st)
                         return st._replace(
-                            y=y_new, ctx=ls_ctx,
+                            y=y_new, ctx=self.kkt.strip_context(ls_ctx),
                             k=st.k + 1, t_cnt=st.t_cnt + 1,
                             status=_i32(S.REGULAR),
                         )

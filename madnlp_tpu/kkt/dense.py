@@ -347,6 +347,14 @@ class DenseKKT:
 
     # -- refined solve -----------------------------------------------------
 
+    def strip_context(self, ctx: KKTContext) -> KKTContext:
+        """Drop iteration-local heavyweight payloads before the context is
+        persisted into the solver State (overridden by the banded path to
+        strip the ~20 MB f64 operator band: it is only consumed by ``mul``
+        during the refinement of the SAME iteration, and carrying it
+        through the solve loop's switch/cond boundaries costs copies)."""
+        return ctx
+
     def solve_refine(self, ctx: KKTContext, b: KKTVec):
         refine = solve_refine if self.opts.iterator == "richardson" else solve_gmres
         return refine(

@@ -253,12 +253,13 @@ class BandRowAssembly:
 
         rows_a, gidx_a, lidx_a = build(in_a, k1)
         rows_b, gidx_b, lidx_b = build(~in_a, kmax)
-        # concatenate cohorts and order by destination row for the
-        # sorted unique row scatter
+        # placement by row-GATHER (31 ns/row) instead of row-scatter
+        # (0.13 µs/row): inverse map full row -> compact row (+zero row)
         all_rows = np.concatenate([rows_a, rows_b])
-        perm = np.argsort(all_rows, kind="stable")
-        self._row_targets = jnp.asarray(all_rows[perm])
-        self._perm = jnp.asarray(perm)
+        n_occ = len(all_rows)
+        inv_rows = np.full(self.n_rows_total, n_occ, dtype=np.int64)
+        inv_rows[all_rows] = np.arange(n_occ)
+        self._inv_rows = jnp.asarray(inv_rows)
         self._gidx_a = jnp.asarray(gidx_a)
         self._lidx_a = jnp.asarray(lidx_a)
         self._gidx_b = jnp.asarray(gidx_b)
@@ -284,11 +285,9 @@ class BandRowAssembly:
         rows = jnp.concatenate([
             self._rows(ext, self._gidx_a, self._lidx_a),
             self._rows(ext, self._gidx_b, self._lidx_b),
-        ])[self._perm]
-        flat = jnp.zeros((self.n_rows_total, self.b), vals.dtype)
-        flat = flat.at[self._row_targets].set(
-            rows, indices_are_sorted=True, unique_indices=True
-        )
+            jnp.zeros((1, self.b), vals.dtype),   # unoccupied rows
+        ])
+        flat = rows[self._inv_rows]
         return flat.reshape(self.shape).astype(dtype)
 
 
