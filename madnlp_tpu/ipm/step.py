@@ -492,7 +492,8 @@ class Kernel:
             ctx = self._factorize(st, del_w, del_c, rr=rr)
             pos, nzero, neg = self.kkt.inertia(ctx)
             ok_inertia = self.kkt.is_inertia_correct(pos, nzero, neg)
-            d, solved, iters = self.kkt.solve_refine(ctx, p_rhs)
+            mu = st.RR.mu_R if rr else st.mu
+            d, solved, iters = self.kkt.solve_refine(ctx, p_rhs, mu=mu)
             solve_status = ok_inertia & solved
             return ctx, d, solve_status, nzero, iters
 
@@ -549,7 +550,8 @@ class Kernel:
 
         def attempt(st, del_w, del_c):
             ctx = self._factorize(st, del_w, del_c, rr=rr)
-            d, solved, iters = self.kkt.solve_refine(ctx, p_rhs)
+            mu = st.RR.mu_R if rr else st.mu
+            d, solved, iters = self.kkt.solve_refine(ctx, p_rhs, mu=mu)
             return ctx, d, solved, iters
 
         ctx0, d0, ok0, it0 = attempt(st, zero, zero)
@@ -616,8 +618,8 @@ class Kernel:
 
         def attempt(st, del_w, del_c):
             ctx = self._factorize(st, del_w, del_c, rr=rr)
-            d0, ok0, it0 = self.kkt.solve_refine(ctx, p0)
-            d, ok1, it1 = self.kkt.solve_refine(ctx, p_rhs)
+            d0, ok0, it0 = self.kkt.solve_refine(ctx, p0, mu=mu)
+            d, ok1, it1 = self.kkt.solve_refine(ctx, p_rhs, mu=mu)
             t = d.xp - d0.xp
             wx = self.kkt.mul_hess_blk(ctx, t)
             curv_ok = (
@@ -686,7 +688,7 @@ class Kernel:
             (pcnt, wy, theta_soc_old, done, accepted, alpha_soc, ftype,
              x_t, obj_t, c_t, stc) = carry
             rhs = self._aug_rhs(stc, wy, stc.mu)
-            w1, okr, iters = self.kkt.solve_refine(ctx, rhs)
+            w1, okr, iters = self.kkt.solve_refine(ctx, rhs, mu=stc.mu)
             stc = stc._replace(backsolve_cnt=stc.backsolve_cnt + iters, last_ir=iters)
             wx = w1.xp
             a_soc = K.get_alpha_max(stc.x, stc.xl, stc.xu, wx, stc.tau, self.lb, self.ub)

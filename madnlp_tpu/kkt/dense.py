@@ -355,14 +355,27 @@ class DenseKKT:
         through the solve loop's switch/cond boundaries costs copies)."""
         return ctx
 
-    def solve_refine(self, ctx: KKTContext, b: KKTVec):
-        refine = solve_refine if self.opts.iterator == "richardson" else solve_gmres
+    def solve_refine(self, ctx: KKTContext, b: KKTVec, mu=None):
+        """Refined solve; ``mu`` (optional, traced) enables the μ-aware
+        stopping target (RichardsonOptions.mu_scaled): refinement beyond
+        O(μ) cannot change the accepted IPM step, so the effective tol is
+        ``max(tol, min(mu_tol_cap, mu_tol_factor·μ))`` — ~1 Richardson
+        sweep/iteration saved at the flagship with an identical
+        trajectory (GMRES keeps the static tol: jax gmres needs a
+        concrete tolerance)."""
+        rich = self.opts.iterator == "richardson"
+        refine = solve_refine if rich else solve_gmres
+        tol = self.opts.richardson_tol
+        ro = self.opts.richardson
+        if rich and mu is not None and ro.mu_scaled:
+            tol = jnp.maximum(tol, jnp.minimum(ro.mu_tol_cap,
+                                               ro.mu_tol_factor * mu))
         return refine(
             lambda w: self.solve(ctx, w),
             lambda x: self.mul(ctx, x),
             b,
-            max_iter=self.opts.richardson.max_iter,
-            tol=self.opts.richardson_tol,
+            max_iter=ro.max_iter,
+            tol=tol,
             acceptable_tol=self.opts.richardson_acceptable_tol,
         )
 

@@ -148,6 +148,17 @@ class RichardsonOptions:
     max_iter: int = 10
     tol: Optional[float] = None              # default: opts.tol ** (5/4)
     acceptable_tol: Optional[float] = None   # default: opts.tol ** (5/8)
+    # μ-aware target (madnlp_tpu addition; inexact-IPM theory: a step
+    # residual ≤ O(μ) preserves the barrier trajectory): the effective
+    # per-solve tol is max(tol, min(mu_tol_cap, mu_tol_factor · μ)), so
+    # early iterations stop refining ~1e3 below their own barrier scale
+    # while the endgame tightens back to the reference's tol^(5/4).
+    # Measured (nb=600 flagship, f32): 78 → 54 backsolves with identical
+    # iteration count and objective to 1e-15.  Set mu_scaled=False for
+    # the reference's fixed-tol behavior.
+    mu_scaled: bool = True
+    mu_tol_factor: float = 1e-2
+    mu_tol_cap: float = 1e-7
 
 
 @dataclasses.dataclass(frozen=True)
