@@ -82,12 +82,35 @@ class Kernel:
                 else InertiaCorrection.FREE
             )
         self.inertia_method = m
+        # The persisted ``state.ctx`` is read across iterations ONLY by
+        # the adaptive barrier rules' probing solves (barrier.jl:260-302
+        # analogue, ipm/barrier.py).  Under the (default) monotone rule
+        # the ~12 MB factorization payload would cross the solve loop's
+        # switch/while boundaries every iteration purely as dead freight
+        # — XLA buffer assignment copies carried leaves (the same effect
+        # measured at 4.3 ms/iter in the round-4 line-search hoist) — so
+        # persist scalar stubs instead, chosen statically at build time.
+        self._persist_ctx_stub = opts.barrier == BarrierUpdate.MONOTONE
         self.hess_approx = opts.hessian_approximation
         self.qn_mem = (
             opts.quasi_newton_options.max_history
             if self.hess_approx == HessianApproximation.COMPACT_LBFGS
             else 0
         )
+
+    def persist_context(self, ctx):
+        """Representation of the KKT context persisted into ``state.ctx``:
+        stripped (adaptive barrier — its probing solves reuse the stale
+        factorization) or scalar-stubbed (monotone, the default — nothing
+        reads the payload across iterations, so nothing heavy should ride
+        the loop boundaries).  ``initialize`` uses the same function, so
+        the State pytree structure is identical on every path."""
+        ctx = self.kkt.strip_context(ctx)
+        if self._persist_ctx_stub:
+            return jax.tree_util.tree_map(
+                lambda a: jnp.zeros((), jnp.asarray(a).dtype), ctx
+            )
+        return ctx
 
     # ------------------------------------------------------------------
     # quasi-Newton / exact Hessian refresh (callbacks.jl:145-190)
@@ -175,7 +198,7 @@ class Kernel:
         p, o = self.prob, self.opts
         st = state_zeros(
             p.nw, p.m, p.n, o.filter_capacity, theta=theta, qn_mem=self.qn_mem,
-            ctx=self.kkt.zero_context(),
+            ctx=self.persist_context(self.kkt.zero_context()),
             jac_t=p.jac_template(), hess_t=p.hess_template(),
         )
         theta_arg = theta if p.model.is_parametric else None
@@ -269,7 +292,7 @@ class Kernel:
             and p.m > 0
         ):
             y_new, ls_ctx = self._least_squares_duals(st)
-            st = st._replace(y=y_new, ctx=self.kkt.strip_context(ls_ctx))
+            st = st._replace(y=y_new, ctx=self.persist_context(ls_ctx))
             st = st._replace(jacl=self.kkt.jtprod(st.jac, st.y))
 
         theta = K.get_theta(st.c)
@@ -1081,9 +1104,11 @@ class Kernel:
                 )
 
             st = lax.cond(ok, line_search_and_accept, to_robust, st)
-            # strip the iteration-local operator band BEFORE the cond
-            # boundary so it never rides a carried output
-            return st, self.kkt.strip_context(ctx), d, p_rhs
+            # reduce the context to its persisted representation BEFORE
+            # the cond boundary (stub under monotone, stripped band under
+            # adaptive) so nothing heavy rides a carried output — and so
+            # both cond branches return the same pytree structure
+            return st, self.persist_context(ctx), d, p_rhs
 
         def skip(st):
             return st, ctx_old, d_old, p_old
@@ -1091,7 +1116,7 @@ class Kernel:
         st, ctx_new, d_new, p_new = lax.cond(
             st.status == _i32(S.REGULAR), work, skip, st
         )
-        return st._replace(ctx=self.kkt.strip_context(ctx_new), d=d_new, p=p_new)
+        return st._replace(ctx=self.persist_context(ctx_new), d=d_new, p=p_new)
 
     # ------------------------------------------------------------------
     # restore! — soft restoration, one iteration (solver.jl:300-411)
@@ -1175,9 +1200,9 @@ class Kernel:
                     st = self._refresh_hessian(st)
                 p_rhs = self._aug_rhs(st, st.c, st.mu)
                 ctx = self._factorize(st, jnp.zeros(()), jnp.zeros(()))
-                d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs)
+                d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs, mu=st.mu)
                 st = st._replace(
-                    p=p_rhs, d=d2, ctx=self.kkt.strip_context(ctx),
+                    p=p_rhs, d=d2, ctx=self.persist_context(ctx),
                     factorization_cnt=st.factorization_cnt + 1,
                     backsolve_cnt=st.backsolve_cnt + iters,
                     last_ir=iters,
@@ -1548,7 +1573,7 @@ class Kernel:
             p_rhs = self._aug_rhs_RR(st)
             st = st._replace(p=p_rhs)
             ctx, d, ok, st = self.inertia_correction(st, p_rhs, rr=True)
-            st = st._replace(d=d, ctx=self.kkt.strip_context(ctx))
+            st = st._replace(d=d, ctx=self.persist_context(ctx))
 
             def fail(st):
                 return st._replace(status=_i32(S.RESTORATION_FAILED))
@@ -1615,7 +1640,7 @@ class Kernel:
                     def back_to_regular(st):
                         y_new, ls_ctx = self._least_squares_duals(st)
                         return st._replace(
-                            y=y_new, ctx=self.kkt.strip_context(ls_ctx),
+                            y=y_new, ctx=self.persist_context(ls_ctx),
                             k=st.k + 1, t_cnt=st.t_cnt + 1,
                             status=_i32(S.REGULAR),
                         )
