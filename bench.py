@@ -74,7 +74,14 @@ def main(spec="case118x4"):
     # sparse edge-local model (ExaModels-style branch-local AD — nnz-sized
     # derivative evaluation) + RCM block-banded LDLt factorization.
     def make_solver(model, **kw):
+        from madnlp_tpu.utils.options import RichardsonOptions
+
         kw.setdefault("linear_solver", LinearSolver.BANDED)
+        # μ-aware Richardson stopping (opt-in): trajectory parity at the
+        # bench scales is pinned by tests/test_refine_mu.py and was
+        # re-verified at nb=600/case57/case118 (identical iteration
+        # counts, objectives to 1e-13) — saves ~1 refinement sweep/iter
+        kw.setdefault("richardson", RichardsonOptions(mu_scaled=True))
         return MadNLPSolver(model, dtype="float32", **kw)
 
     def timed_solve(solver, check_obj=None, repeats=5):

@@ -141,6 +141,8 @@ def make_solver(model, **overrides):
     from madnlp_tpu.utils.options import RichardsonOptions
 
     kw = dict(overrides)
+    # match the flagship bench configuration (μ-aware refinement on)
+    kw.setdefault("richardson", RichardsonOptions(mu_scaled=True))
     if kw.pop("refine_loose", False):
         # one sweep, always reported converged: preserves the loop
         # structure (no δ-ladder retries), removes the extra sweeps

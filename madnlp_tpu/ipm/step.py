@@ -515,7 +515,9 @@ class Kernel:
             ctx = self._factorize(st, del_w, del_c, rr=rr)
             pos, nzero, neg = self.kkt.inertia(ctx)
             ok_inertia = self.kkt.is_inertia_correct(pos, nzero, neg)
-            mu = st.RR.mu_R if rr else st.mu
+            # restoration solves rank-deficient geometry where step
+            # accuracy decides feasibility recovery: keep the exact tol
+            mu = None if rr else st.mu
             d, solved, iters = self.kkt.solve_refine(ctx, p_rhs, mu=mu)
             solve_status = ok_inertia & solved
             return ctx, d, solve_status, nzero, iters
@@ -573,7 +575,7 @@ class Kernel:
 
         def attempt(st, del_w, del_c):
             ctx = self._factorize(st, del_w, del_c, rr=rr)
-            mu = st.RR.mu_R if rr else st.mu
+            mu = None if rr else st.mu
             d, solved, iters = self.kkt.solve_refine(ctx, p_rhs, mu=mu)
             return ctx, d, solved, iters
 
@@ -641,8 +643,9 @@ class Kernel:
 
         def attempt(st, del_w, del_c):
             ctx = self._factorize(st, del_w, del_c, rr=rr)
-            d0, ok0, it0 = self.kkt.solve_refine(ctx, p0, mu=mu)
-            d, ok1, it1 = self.kkt.solve_refine(ctx, p_rhs, mu=mu)
+            mu_t = None if rr else mu
+            d0, ok0, it0 = self.kkt.solve_refine(ctx, p0, mu=mu_t)
+            d, ok1, it1 = self.kkt.solve_refine(ctx, p_rhs, mu=mu_t)
             t = d.xp - d0.xp
             wx = self.kkt.mul_hess_blk(ctx, t)
             curv_ok = (
