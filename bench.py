@@ -84,6 +84,22 @@ def main(spec="case118x4"):
         kw.setdefault("richardson", RichardsonOptions(mu_scaled=True))
         return MadNLPSolver(model, dtype="float32", **kw)
 
+    def solve_resilient(model, check_obj=None, repeats=5, **kw):
+        """Solve with graceful degradation (VERDICT r4 weak #6): if the
+        flagship config fails to compile/run (e.g. a Pallas geometry
+        issue the CPU-side VMEM guard didn't model), retry once on the
+        scratch-free XLA band backend rather than dying with a non-JSON
+        traceback.  Returns (solver, stats, median_time, spread, note)."""
+        try:
+            solver = make_solver(model, **kw)
+            return (solver, *timed_solve(solver, check_obj, repeats), "")
+        except AssertionError:
+            raise  # wrong status/objective is a real failure — surface it
+        except Exception as e:  # compile/runtime containment
+            note = f"[primary config failed: {type(e).__name__}; xla fallback] "
+            solver = make_solver(model, banded_backend="xla", **kw)
+            return (solver, *timed_solve(solver, check_obj, repeats), note)
+
     def timed_solve(solver, check_obj=None, repeats=5):
         stats = solver.solve_jitted()  # compile + warm
         assert stats.status in (
@@ -116,30 +132,30 @@ def main(spec="case118x4"):
     real_note = ""
     if spec != "case118":
         rmodel, robj = _make_model("case118")
-        rsolver = make_solver(rmodel)
-        rstats, rt, _ = timed_solve(rsolver, check_obj=robj, repeats=3)
+        _, rstats, rt, _, rnote = solve_resilient(
+            rmodel, check_obj=robj, repeats=3)
         real_note = (
             f"case118 REAL: obj matches published 129660.70 to "
             f"{abs(rstats.objective - 129660.70) / 129660.70:.1e}, "
             f"{int(rstats.iter)} iters, {rstats.iter / rt:.1f} iter/s; "
+            f"{rnote}"
         )
 
     # 2) primary metric
     model, pub_obj = _make_model(spec)
-    solver = make_solver(model)
-    stats, t_dev, spread = timed_solve(solver, check_obj=pub_obj)
+    solver, stats, t_dev, spread, primary_note = solve_resilient(
+        model, check_obj=pub_obj)
     iters = max(stats.iter, 1)
     iter_per_s = iters / t_dev
 
     # 3) cross-round comparable (flagship synthetic nb=600)
-    flagship_note = ""
+    flagship_note = primary_note
     if spec == "case118x4":
         fmodel, _ = _make_model("nb600")
-        fsolver = make_solver(fmodel)
-        fstats, ft, _ = timed_solve(fsolver, repeats=3)
-        flagship_note = (
+        _, fstats, ft, _, fnote = solve_resilient(fmodel, repeats=3)
+        flagship_note += (
             f"nb600 synthetic flagship: {fstats.iter / ft:.1f} iter/s "
-            f"(r3 comparable: 75.2); "
+            f"(r3 comparable: 75.2); {fnote}"
         )
 
     # 3) roofline / MFU of the banded factorization (BASELINE.md:30)
@@ -190,4 +206,25 @@ def main(spec="case118x4"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "case118x4")
+    try:
+        main(sys.argv[1] if len(sys.argv) > 1 else "case118x4")
+    except Exception as e:  # last-resort containment (VERDICT r4 weak #6):
+        # the output contract is ONE valid JSON line, even on failure —
+        # a traceback tail is useless to the driver
+        import traceback
+
+        tb = traceback.format_exc().strip().splitlines()
+        print(
+            json.dumps(
+                {
+                    "metric": "ipm_iter_per_s",
+                    "value": 0.0,
+                    "unit": (
+                        f"BENCH FAILED: {type(e).__name__}: {e} "
+                        f"(last frame: {tb[-2] if len(tb) > 1 else ''})"
+                    ),
+                    "vs_baseline": None,
+                }
+            )
+        )
+        sys.exit(1)

@@ -55,6 +55,63 @@ def _sorted_scatter_map(idx: np.ndarray):
     return jnp.asarray(order), jnp.asarray(idx[order])
 
 
+def resolve_banded_config(N: int, W: int, opts, platform: str):
+    """Jointly resolve (block size b, banded backend) for a band of scalar
+    bandwidth ``W`` on ``platform`` — the backend-feasibility guard the
+    reference's smart presets always provide (src/IPM/options.jl:209-228:
+    a resolved configuration is always a *working* one).
+
+    Rules, in order:
+
+    1. an explicit ``banded_backend="xla"`` never needs a check, and
+       "pallas_interpret" (the CPU interpreter — no Mosaic alignment or
+       scoped-VMEM constraints) is exempt too; explicit "pallas" goes
+       through the same feasibility search as "auto" (an unrunnable
+       config is never returned);
+    2. "auto" on TPU wants the streaming Pallas kernels, which require
+       ``b % 128 == 0`` (Mosaic lane-aligned HBM DMA) AND the scoped-VMEM
+       feasibility of `ops.pallas_banded_stream.stream_fits_vmem` — the
+       window/temporary footprint grows as O((bw·b)²), so wide bands
+       (case118x4 ring: W=779 → bw=4 at b=256 → 17.9 MB > the 16 MB
+       scoped limit, the BENCH_r04 rc=1) must re-block smaller;
+    3. candidate blocks are the preset b plus smaller multiples of 128 —
+       smaller b shrinks the window toward W² while keeping the kernel;
+    4. if the user pinned ``banded_block_size``, it is never overridden —
+       infeasible geometry falls back to the XLA fori_loop backend, which
+       has no VMEM scratch at all.
+
+    Pure host-side function of (N, W, opts, platform) so the CPU test
+    suite can assert feasibility of every bench-default geometry without
+    a TPU (tests/test_vmem_guard.py).
+    """
+    from ..ops.pallas_banded_stream import stream_fits_vmem
+
+    backend = opts.banded_backend
+    if backend == "auto":
+        backend = "pallas" if platform == "tpu" else "xla"
+    b0 = opts.resolved_banded_block(N)
+    if backend != "pallas":
+        return b0, backend
+
+    def geom(b):
+        bw = max(1, -(-W // b)) if W > 0 else 1
+        nbp = max(1, -(-N // b)) + bw
+        return bw, nbp
+
+    if opts.banded_block_size is not None:
+        candidates = [b0]
+    else:
+        candidates = [b0] + [c for c in (256, 128) if c < b0]
+    for b in candidates:
+        if b % 128 != 0:
+            continue  # Mosaic: HBM DMA slices must be 128-lane aligned
+        bw, nbp = geom(b)
+        if stream_fits_vmem(b, bw, nbp):
+            return b, backend
+    # no feasible Pallas geometry — the XLA band loop always works
+    return b0, "xla"
+
+
 class SparseKKT(DenseKKT):
     """Reduced augmented KKT with scatter assembly from sparse callbacks."""
 
@@ -142,11 +199,20 @@ class SparseKKT(DenseKKT):
         )
 
     def _init_band_structure(self):
+        import jax as _jax
+
         rows, cols, N = self._band_pattern()
-        self.bstruct = BandStructure(
-            rows, cols, N, block=self.opts.resolved_banded_block(N),
-            perm=self._band_ordering(),
+        perm = self._band_ordering()
+        # joint (block, backend) resolution with scoped-VMEM feasibility
+        # (resolve_banded_config): bandwidth W is permutation-determined,
+        # independent of the block size, so it can steer the choice
+        iperm = np.empty(N, dtype=np.int64)
+        iperm[perm] = np.arange(N)
+        W = int(np.abs(iperm[rows] - iperm[cols]).max(initial=0))
+        block, backend = resolve_banded_config(
+            N, W, self.opts, _jax.default_backend()
         )
+        self.bstruct = BandStructure(rows, cols, N, block=block, perm=perm)
         band_idx = self.bstruct.map(rows, cols)
         self.band_order, self.band_idx_sorted = _sorted_scatter_map(band_idx)
         # gather-formulation assembly (round 4): the sorted scatter-add
@@ -156,18 +222,8 @@ class SparseKKT(DenseKKT):
         self._bperm = jnp.asarray(self.bstruct.perm)
         self._biperm = jnp.asarray(self.bstruct.iperm)
         # backend: fused streaming Pallas kernels on TPU (band in HBM,
-        # rolling bw+1-column window in VMEM — size-independent)
-        backend = self.opts.banded_backend
-        if backend == "auto":
-            import jax as _jax
-
-            backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
-        if backend == "pallas" and self.bstruct.b % 128 != 0:
-            # Mosaic constraint: HBM DMA slices must be 128-aligned in the
-            # lane dimension, so the streaming kernel needs b to be a
-            # multiple of 128 (also the native MXU tile) — otherwise use
-            # the XLA fori_loop backend
-            backend = "xla"
+        # rolling bw+1-column window in VMEM); backend choice was resolved
+        # jointly with the block size above
         if backend in ("pallas", "pallas_interpret"):
             import functools
 

@@ -125,6 +125,7 @@ class BandStructure:
         pr = iperm[rows]
         pc = iperm[cols]
         W = int(np.abs(pr - pc).max(initial=0))  # scalar bandwidth
+        self.W = W
         b = self.b
         self.bw = max(1, -(-W // b)) if W > 0 else 1
         self.nb = max(1, -(-N // b))

