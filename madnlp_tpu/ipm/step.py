@@ -1203,7 +1203,12 @@ class Kernel:
                     st = self._refresh_hessian(st)
                 p_rhs = self._aug_rhs(st, st.c, st.mu)
                 ctx = self._factorize(st, jnp.zeros(()), jnp.zeros(()))
-                d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs, mu=st.mu)
+                # mu=None: restoration solves keep the exact refinement
+                # tol (the documented invariant, docs/options.md) — soft
+                # restore triggers exactly when the line search failed,
+                # i.e. the degenerate geometry the μ-relaxation's own
+                # rationale flags as sensitive (ADVICE r4)
+                d2, okr, iters = self.kkt.solve_refine(ctx, p_rhs, mu=None)
                 st = st._replace(
                     p=p_rhs, d=d2, ctx=self.persist_context(ctx),
                     factorization_cnt=st.factorization_cnt + 1,

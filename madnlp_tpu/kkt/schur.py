@@ -47,6 +47,21 @@ class SchurFactor(NamedTuple):
     S_fac: object  # EquilibratedFactor of the (nd, nd) Schur complement
 
 
+class SchurBandedFactor(NamedTuple):
+    """Factor payload when the per-scenario blocks run the flagship
+    block-banded LDLᵀ (``schur_block_solver="banded"``) — the single-chip
+    composition of the two flagship mechanisms: banded factorization
+    inside each block, Schur scenario decomposition (and its mesh
+    sharding) across blocks (reference analogue: per-scenario MUMPS under
+    Schur, src/KKT/Schur/schur.jl:953-1001)."""
+
+    band: jax.Array   # (N, nbp, bw+1, b, b) batched banded factors
+    invL: jax.Array   # (N, nbp, b, b)
+    d: jax.Array      # (N, nb·b) batched pivots
+    G: jax.Array      # (N, bs, nd)  A_k⁻¹ C_k (original block coords)
+    S_fac: object  # EquilibratedFactor of the (nd, nd) Schur complement
+
+
 class SchurKKT(DenseKKT):
     """``scenario_sharding``: optional ``NamedSharding`` with a single mesh
     axis for the leading (scenario) dimension of all batched block arrays.
@@ -76,6 +91,74 @@ class SchurKKT(DenseKKT):
         self.pcols = np.concatenate([v_idx, s_idx], axis=1)   # (N, blkp)
         self.d_idx = np.arange(N * nv, N * nv + nd)
         self.ldl_block = min(self.opts.ldl_block_size or 64, max(8, self.bs))
+        self.block_banded = opts.schur_block_solver == "banded"
+        if self.block_banded:
+            self._init_block_band()
+
+    # -- banded per-scenario blocks (schur_block_solver="banded") ----------
+
+    def _init_block_band(self):
+        """Symbolic phase of the banded block backend: recover the
+        per-scenario block sparsity by a two-point numeric probe (the
+        dense callback exposes no symbolic pattern; two generic points
+        make a coincidental structural-nonzero-evaluating-to-zero a
+        measure-zero²-probability event, and the f64 Richardson operator
+        — which uses the exact dense KKT — would surface any miss as a
+        non-contracting refinement), interleave-order it
+        (ops/banded.py:kkt_interleaved_ordering), and precompute the
+        dense-block → band-storage gather."""
+        from ..ipm.problem import Scaling
+        from ..ops.banded import BandStructure, kkt_interleaved_ordering
+
+        p, ts = self.prob, self.ts
+        N, nv, ms = ts.N, ts.nv, ts.ms
+        blkp, bs = self.blkp, self.bs
+        rng = np.random.default_rng(7)
+        scal = Scaling(jnp.ones(()), jnp.ones((p.m,)))
+        Hp = np.zeros((nv, nv), bool)
+        Jpat = np.zeros((ms, blkp), bool)
+        for trial in range(2):
+            w0 = jnp.asarray(rng.uniform(0.4, 1.3, p.nw))
+            y = jnp.asarray(rng.standard_normal(p.m))
+            jac = np.asarray(p.eval_jac(scal, w0))
+            hess = np.asarray(p.eval_lag_hess(scal, w0, y))
+            for k in range(N):
+                Hp |= hess[k * nv : (k + 1) * nv, k * nv : (k + 1) * nv] != 0
+                Jpat |= jac[k * ms : (k + 1) * ms][:, self.pcols[k]] != 0
+        hr, hc = np.nonzero(Hp | np.eye(nv, dtype=bool))
+        jr, jc = np.nonzero(Jpat)
+        perm = kkt_interleaved_ordering(hr, hc, jr, jc, blkp, ms)
+        diag = np.arange(bs)
+        rows = np.concatenate([diag, blkp + jr, hr])
+        cols = np.concatenate([diag, jc, hc])
+        b = 32 if bs <= 512 else 64
+        bb = BandStructure(rows, cols, bs, block=b, perm=perm)
+        self.bband = bb
+        # dense-block → band gather: band[j, k, r, c] = Ap[(j+k)b+r, jb+c]
+        # in permuted coords; out-of-range scalar indices read the padding
+        # identity (matches BandStructure.assemble's pad_idx)
+        j = np.arange(bb.nbp)[:, None, None, None]
+        k = np.arange(bb.bw + 1)[None, :, None, None]
+        r = np.arange(b)[None, None, :, None]
+        c = np.arange(b)[None, None, None, :]
+        R = (j + k) * b + r
+        C = j * b + c
+        valid = (R < bs) & (C < bs)
+        padeye = (~valid) & (R == C) & (R < bb.nb * b)
+        self._bb_gr = jnp.asarray(perm[np.clip(R, 0, bs - 1)])
+        self._bb_gc = jnp.asarray(perm[np.clip(C, 0, bs - 1)])
+        self._bb_valid = jnp.asarray(valid)
+        self._bb_padeye = jnp.asarray(padeye)
+        self._bb_perm = jnp.asarray(bb.perm)
+        self._bb_iperm = jnp.asarray(bb.iperm)
+
+    def _extract_band(self, A):
+        """(N, bs, bs) dense blocks → (N, nbp, bw+1, b, b) band storage."""
+        vals = A[:, self._bb_gr, self._bb_gc]
+        return jnp.where(
+            self._bb_valid[None], vals,
+            self._bb_padeye[None].astype(A.dtype),
+        )
 
     def sys_size(self) -> int:
         return self.prob.nw + self.prob.m
@@ -133,6 +216,25 @@ class SchurKKT(DenseKKT):
         dt = self.fact_dtype
         A = self._shard(A.astype(dt))
         Cf = self._shard(C.astype(dt))
+        if self.block_banded:
+            from ..ops.banded import banded_factorize, banded_solve
+
+            band = self._shard(self._extract_band(A))
+            fac = jax.vmap(lambda bd: banded_factorize(self.bband, bd))(band)
+            Cp = Cf[:, self._bb_perm, :]
+            Gp = jax.vmap(lambda f, c: banded_solve(self.bband, f, c))(fac, Cp)
+            G = self._shard(Gp[:, self._bb_iperm, :])          # (N, bs, nd)
+            S = S0 - jnp.einsum("kij,kil->jl", Cf, G).astype(S0.dtype)
+            S_fac = self._factorize_matrix(S)
+            factor = SchurBandedFactor(
+                band=self._shard(fac.band), invL=self._shard(fac.invL),
+                d=self._shard(fac.d), G=G, S_fac=S_fac,
+            )
+            return KKTContext(
+                hess=hess, jac=jac, pr_diag=pr_diag, du_diag=du_diag,
+                reg=reg, dl=dl, du_=du_, zl=zl, zu=zu, factor=factor,
+            )
+
         def fac_arrays(a):
             f = ldlt.ldlt_factorize(a, block=self.ldl_block)
             return f.L, f.d
@@ -159,6 +261,25 @@ class SchurKKT(DenseKKT):
         N, bs, nd = self.ts.N, self.bs, self.ts.nd
         dt = self.fact_dtype
         bsp = max(1, -(-bs // self.ldl_block)) * self.ldl_block
+        if self.block_banded:
+            bb = self.bband
+            factor = SchurBandedFactor(
+                band=jnp.zeros((N, bb.nbp, bb.bw + 1, bb.b, bb.b), dt),
+                invL=jnp.zeros((N, bb.nbp, bb.b, bb.b), dt),
+                d=jnp.ones((N, bb.nb * bb.b), dt),
+                G=jnp.zeros((N, bs, nd), dt),
+                S_fac=EquilibratedFactor(
+                    inner=ds.zero_factor(
+                        self.solver, nd, dt, self.opts.ldl_block_size or 64,
+                        hykkt_backend=self._hykkt_backend(),
+                        solve_mode=self.solve_mode,
+                        cg_tol=self.opts.hykkt_cg_tol,
+                        cg_maxiter=self.opts.hykkt_cg_maxiter,
+                    ),
+                    d=jnp.ones((nd,)),
+                ),
+            )
+            return base._replace(factor=factor)
         factor = SchurFactor(
             Lb=jnp.zeros((N, bsp, bsp), dt),
             db=jnp.zeros((N, bsp), dt),
@@ -179,11 +300,20 @@ class SchurKKT(DenseKKT):
     # -- inertia (Haynsworth additivity) -----------------------------------
 
     def inertia(self, ctx: KKTContext):
-        f: SchurFactor = ctx.factor
+        f = ctx.factor
         bs = self.bs
-        pos_b, zero_b, neg_b = jax.vmap(
-            lambda L, d: ldlt.ldlt_inertia(ldlt.LDLFactor(L, d, bs))
-        )(f.Lb, f.db)
+        if self.block_banded:
+            from ..ops.banded import BandedFactor, banded_inertia
+
+            pos_b, zero_b, neg_b = jax.vmap(
+                lambda bd, il, d: banded_inertia(
+                    self.bband, BandedFactor(bd, il, d)
+                )
+            )(f.band, f.invL, f.d)
+        else:
+            pos_b, zero_b, neg_b = jax.vmap(
+                lambda L, d: ldlt.ldlt_inertia(ldlt.LDLFactor(L, d, bs))
+            )(f.Lb, f.db)
         ps, zs, ns_ = ds.inertia(f.S_fac.inner)
         return (
             jnp.sum(pos_b) + ps,
@@ -210,10 +340,22 @@ class SchurKKT(DenseKKT):
         r_k = self._shard(jnp.concatenate([r_p, r_y], axis=1).astype(dt))  # (N, bs)
         r_d = w.xp[d_idx].astype(dt)
 
-        solve_b = jax.vmap(
-            lambda L, d, rr: ldlt.ldlt_solve(ldlt.LDLFactor(L, d, self.bs), rr)
-        )
-        t = solve_b(f.Lb, f.db, r_k)                    # forward eliminate
+        if self.block_banded:
+            from ..ops.banded import BandedFactor, banded_solve
+
+            t = jax.vmap(
+                lambda bd, il, d, rr: banded_solve(
+                    self.bband, BandedFactor(bd, il, d), rr
+                )
+            )(f.band, f.invL, f.d, r_k[:, self._bb_perm])
+            t = t[:, self._bb_iperm]                    # forward eliminate
+        else:
+            solve_b = jax.vmap(
+                lambda L, d, rr: ldlt.ldlt_solve(
+                    ldlt.LDLFactor(L, d, self.bs), rr
+                )
+            )
+            t = solve_b(f.Lb, f.db, r_k)                # forward eliminate
         rd2 = r_d - jnp.einsum("kij,ki->j", f.G, r_k)   # reduction (psum point)
         dd = self._backsolve(f.S_fac, rd2)              # dense coupling solve
         blk = t - jnp.einsum("kij,j->ki", f.G, dd)      # back-substitute

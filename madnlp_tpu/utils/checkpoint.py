@@ -22,13 +22,24 @@ def save_state(state, path: str) -> None:
 
 def load_state(path: str, template):
     """Restore a state saved by :func:`save_state`; ``template`` supplies the
-    pytree structure (e.g. ``solver._init_fn()`` or a previous state)."""
+    pytree structure (e.g. ``solver._init_fn()`` or a previous state).
+
+    Leaves whose saved shape differs from the template keep the template's
+    value instead: the only shape-variable leaves are the persisted KKT
+    context (``state.ctx``), which is stored as scalar stubs under the
+    monotone barrier but full payload under adaptive rules (ipm/step.py
+    ``persist_context``) — it is recomputed at the next factorization, so
+    cross-config checkpoints stay loadable in both directions (ADVICE r4)."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     leaves, treedef = jax.tree_util.tree_flatten(template)
     new_leaves = []
     for i, leaf in enumerate(leaves):
+        tleaf = jnp.asarray(leaf)
         arr = data[f"leaf_{i}"]
-        new_leaves.append(jnp.asarray(arr, dtype=jnp.asarray(leaf).dtype))
+        if tuple(arr.shape) != tuple(tleaf.shape):
+            new_leaves.append(tleaf)
+        else:
+            new_leaves.append(jnp.asarray(arr, dtype=tleaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

@@ -304,6 +304,14 @@ class MadNLPOptions:
     banded_backend: str = "auto"   # "auto" | "xla" | "pallas" — "auto" uses
     # the fused Pallas VMEM kernels (ops/pallas_banded.py) on TPU when the
     # band fits VMEM, the XLA fori_loop otherwise
+    schur_block_solver: str = "dense"  # "dense" | "banded" — factorization
+    # of the per-scenario A_k blocks of the Schur KKT (kkt/schur.py).
+    # "banded" runs the flagship block-banded LDLᵀ *inside* each scenario
+    # block (vmapped over the scenario axis, shardable over a mesh): the
+    # per-block pattern is recovered by a two-point numeric probe at
+    # setup, RCM+interleave ordered, and the dense-assembled blocks are
+    # gathered into band storage — O(bs·w²) per block instead of O(bs³)
+    # when scenario networks are large (models/instances/scopf.py).
     arrow_nparts: int = 0          # number of diagonal blocks of the
     # block-arrowhead factorization (0 = auto: p ≈ (N/w)^(3/5) balancing
     # block vs separator flops)

