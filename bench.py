@@ -36,6 +36,20 @@ PUBLISHED = {
 
 
 def _make_model(spec):
+    if spec.startswith("mix"):
+        # heterogeneous interconnection, e.g. "mix57+118" = case57+case118
+        # chain-tied (matpower.interconnect_cases; no exact anchor — the
+        # tied optimum is economics-bounded, tests/test_realcases.py)
+        from madnlp_tpu.models import matpower
+
+        data = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+        cases = [
+            matpower.parse_case(os.path.join(data, f"case{p}.m"))
+            for p in spec[3:].split("+")
+        ]
+        case = matpower.interconnect_cases(cases, ties="chain")
+        return matpower.build_acopf(case, sparse=True), None
     if spec.startswith("case"):
         from madnlp_tpu.models import matpower
 
@@ -48,8 +62,12 @@ def _make_model(spec):
             # tiled REAL multi-area interconnection (matpower.tile_case):
             # by symmetry the optimum is exactly K x the published
             # single-area optimum — external anchor retained at scale
+            # ("case118x4" = ring ties, "case118x9grid" = 2D-grid ties)
+            ties = "ring"
+            if mult.endswith("grid"):
+                mult, ties = mult[:-4], "grid2d"
             K = int(mult)
-            case = matpower.tile_case(case, K, ties="ring")
+            case = matpower.tile_case(case, K, ties=ties)
             pub = pub * K if pub else None
         return matpower.build_acopf(case, sparse=True), pub
     from madnlp_tpu.models.instances import opf

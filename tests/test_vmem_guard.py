@@ -30,18 +30,10 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
 def _bench_model(spec):
-    """Replicates bench.py's model construction for a given spec."""
-    if spec.startswith("case"):
-        from madnlp_tpu.models import matpower
+    """Builds bench.py's model for a given spec (same construction)."""
+    import bench
 
-        base, _, mult = spec.partition("x")
-        case = matpower.parse_case(os.path.join(DATA, f"{base}.m"))
-        if mult:
-            case = matpower.tile_case(case, int(mult), ties="ring")
-        return matpower.build_acopf(case, sparse=True)
-    from madnlp_tpu.models.instances import opf
-
-    return opf.build_sparse(nb=int(spec[2:]), seed=0)
+    return bench._make_model(spec)[0]
 
 
 def _band_geometry(model):
@@ -55,8 +47,11 @@ def _band_geometry(model):
     return bs.N, bs.W
 
 
-# every spec the bench CLI can select (bench.py PUBLISHED + defaults)
-BENCH_SPECS = ["case118", "case118x4", "nb600"]
+# every geometry class the bench CLI can select (defaults + the
+# structurally-diverse round-5 topologies, incl. the W=1717 grid2d x9
+# whose band exceeds ANY feasible Pallas geometry → must resolve to xla)
+BENCH_SPECS = ["case118", "case118x4", "nb600", "case118x4grid",
+               "case118x9grid", "mix57+118"]
 
 
 @pytest.mark.parametrize("spec", BENCH_SPECS)
