@@ -105,6 +105,31 @@ def test_tiled_case118_grid2d_and_wide_ring():
         assert stats.iter <= 18  # measured 15 for both (budget +3)
 
 
+def test_tiled_case118_grid2d_x9_wide_band():
+    """3×3 grid of case118 (n=3096, case2869-class variable count): the
+    widest band geometry in the tree (W=1717 — infeasible for ANY
+    streaming-Pallas block, so on TPU the resolver's xla fallback path
+    carries it; tests/test_vmem_guard.py asserts that resolution).  The
+    exact 9× anchor still holds; MULTIFRONTAL and BLOCK_ARROW solve the
+    same system in the same 15 iterations (measured r5) — the 2D coupling
+    is the nested-dissection-shaped case."""
+    from madnlp_tpu import LinearSolver
+
+    case = matpower.parse_case(os.path.join(DATA, "case118.m"))
+    model = matpower.build_acopf(
+        matpower.tile_case(case, 9, ties="grid2d"), sparse=True
+    )
+    stats = madnlp(
+        model, print_level="error", dtype="float32",
+        linear_solver=LinearSolver.BANDED,  # the bench-sweep config; the
+        # default preset at this width/size chooses dense (w·4 > N),
+        # which is correct flops-wise but slow under the CPU test budget
+    )
+    assert stats.status == Status.SOLVE_SUCCEEDED
+    assert stats.objective == pytest.approx(9 * 129660.70, rel=1e-5)
+    assert stats.iter <= 18  # measured 15
+
+
 def test_mixed_case57_case118_interconnection():
     """Heterogeneous areas (VERDICT r4 #4a): case57 + case118 joined into
     one system (matpower.interconnect_cases) — different topologies,
