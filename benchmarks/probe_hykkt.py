@@ -42,23 +42,33 @@ def main(device="cpu", nb=600):
         # on-chip: walls only, for the configs the CPU trajectory sweep
         # already validated (docs/benchmarks.md "HyKKT conclusion") —
         # each config is a minutes-long whole-solver compile over the
-        # tunnel, so the 24-config grid is CPU-only
-        grid = [("float32", None, 1e-4), ("float32", None, 1e-2),
-                ("float64", None, 1e-4)]
+        # tunnel, so the 24-config grid is CPU-only.  The backend
+        # dimension (VERDICT r4 #3): the auto "ldl" backend everywhere,
+        # plus "native" XLA cholesky ONLY at small nb — embedding native
+        # cholesky at KKT sizes ≳1500 in a whole-solver program faults
+        # the TPU device (CLAUDE.md known environment bug), and a faulted
+        # device wedges the single-client tunnel
+        grid = [("float32", None, 1e-4, None), ("float32", None, 1e-2, None),
+                ("float64", None, 1e-4, None)]
+        if nb <= 300:
+            grid += [("float32", None, 1e-4, "native"),
+                     ("float64", None, 1e-4, "native")]
     else:
-        grid = [(d, g, c) for d in ("float32", "float64")
+        grid = [(d, g, c, None) for d in ("float32", "float64")
                 for g in (None, 1e4, 1e5, 1e6)
                 for c in (1e-2, 1e-4, 1e-6)]
-    for dtype, gamma, cg_tol in grid:
+    for dtype, gamma, cg_tol, backend in grid:
         try:
             st, wall = run(
                 linear_solver=LinearSolver.HYKKT, dtype=dtype,
                 hykkt_gamma=gamma, hykkt_cg_tol=cg_tol,
+                hykkt_backend=backend,
             )
             ok = st.status in (Status.SOLVE_SUCCEEDED,
                                Status.SOLVED_TO_ACCEPTABLE_LEVEL)
             print(json.dumps({
-                "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
+                "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}"
+                       + (f"-{backend}" if backend else ""),
                 "iter": int(st.iter), "status": int(st.status),
                 "obj": float(st.objective),
                 "obj_rel_err": abs(float(st.objective)
@@ -71,7 +81,8 @@ def main(device="cpu", nb=600):
             }), flush=True)
         except Exception as e:  # noqa: BLE001 — sweep must finish
             print(json.dumps({
-                "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}",
+                "cfg": f"HYKKT-{dtype[-2:]}-g{gamma}-ct{cg_tol}"
+                       + (f"-{backend}" if backend else ""),
                 "error": str(e)[:200]}), flush=True)
 
 

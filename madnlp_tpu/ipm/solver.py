@@ -70,6 +70,7 @@ class MadNLPSolver:
         schur_structure=None,
         schur_sharding=None,
         arrow_sharding=None,
+        kkt_sharding=None,
         **kwargs,
     ):
         opts = options if options is not None else MadNLPOptions.create(**kwargs)
@@ -179,6 +180,13 @@ class MadNLPSolver:
                 "arrow_sharding requires linear_solver=BLOCK_ARROW"
             )
             kkt.arrow_sharding = arrow_sharding
+        if kkt_sharding is not None:
+            # single-problem tensor parallelism of one large dense KKT
+            # factorization (ops/ldlt.py GSPMD-distributed blocked LDLᵀ)
+            assert self.opts.linear_solver == LinearSolver.LDL and not getattr(
+                kkt, "sparse_direct", False
+            ), "kkt_sharding requires the dense LDL path"
+            kkt.dense_sharding = kkt_sharding
         if self.prob.is_sparse and self.opts.hessian_approximation.name in (
             "BFGS",
             "DAMPED_BFGS",
@@ -391,35 +399,60 @@ class MadNLPSolver:
         self.state = st
         return self._stats(st, time.time() - t0)
 
+    @staticmethod
+    def _make_loop(kern):
+        """(cond, body, whole) of the whole-solve state machine for a
+        given kernel (src/IPM/solver.jl:162-166 encoded as a status int)."""
+
+        def cond(st):
+            return (
+                (st.status == _i32(Status.REGULAR))
+                | (st.status == _i32(Status.RESTORE))
+                | (st.status == _i32(Status.ROBUST))
+            )
+
+        def body(st):
+            branch = jnp.where(
+                st.status == _i32(Status.REGULAR), 0,
+                jnp.where(st.status == _i32(Status.RESTORE), 1, 2),
+            )
+            return jax.lax.switch(
+                branch,
+                [kern.regular_step, kern.restore_step, kern.robust_step],
+                st,
+            )
+
+        def whole(theta):
+            return jax.lax.while_loop(cond, body, kern.initialize(theta))
+
+        return cond, body, whole
+
     def _build_solve_jit(self):
         if self._solve_jit is None:
-            kern = self.kernel
-
-            def cond(st):
-                return (
-                    (st.status == _i32(Status.REGULAR))
-                    | (st.status == _i32(Status.RESTORE))
-                    | (st.status == _i32(Status.ROBUST))
-                )
-
-            def body(st):
-                branch = jnp.where(
-                    st.status == _i32(Status.REGULAR), 0,
-                    jnp.where(st.status == _i32(Status.RESTORE), 1, 2),
-                )
-                return jax.lax.switch(
-                    branch,
-                    [kern.regular_step, kern.restore_step, kern.robust_step],
-                    st,
-                )
-
-            def whole(theta):
-                return jax.lax.while_loop(cond, body, kern.initialize(theta))
-
+            cond, body, whole = self._make_loop(self.kernel)
             self._loop_cond, self._loop_body = cond, body
             self._whole_fn = whole
             self._solve_jit = jax.jit(whole)
         return self._whole_fn
+
+    def _batch_kernel(self):
+        """Kernel for vmapped batch solves: identical configuration except
+        a Pallas banded backend is swapped for the XLA band loop —
+        ``pallas_call`` kernels with ANY-space HBM refs cannot be vmapped
+        (Mosaic requires whole-array blocks with trivial index maps under
+        a batch grid dimension), while the XLA ``fori_loop`` backend
+        batches naturally into (B, …) GEMMs that fill the MXU better
+        anyway (the cuDSS-ubatch analogue, cudss.jl:139-148)."""
+        kkt = self.kernel.kkt
+        resolved = str(getattr(kkt, "banded_backend_resolved", ""))
+        if not (getattr(kkt, "banded", False)
+                and resolved.startswith("pallas")):
+            return self.kernel
+        if getattr(self, "_kernel_batch", None) is None:
+            opts2 = dataclasses.replace(self.opts, banded_backend="xla")
+            kkt2 = type(kkt)(self.prob, opts2)
+            self._kernel_batch = Kernel(self.prob, opts2, kkt=kkt2)
+        return self._kernel_batch
 
     def solve_batch(self, params_batch, sharding=None, chunk_size="auto",
                     probe_iters="auto"):
@@ -452,9 +485,12 @@ class MadNLPSolver:
 
         Returns the final batched :class:`State` in the original instance
         order; summary arrays via :func:`batch_summary`."""
-        whole = self._build_solve_jit()
-        cond, body = self._loop_cond, self._loop_body
-        kern = self.kernel
+        kern = self._batch_kernel()
+        if kern is self.kernel:
+            whole = self._build_solve_jit()
+            cond, body = self._loop_cond, self._loop_body
+        else:
+            cond, body, whole = self._make_loop(kern)
         B = jax.tree_util.tree_leaves(params_batch)[0].shape[0]
         if chunk_size == "auto":
             if sharding is not None or B <= 16:

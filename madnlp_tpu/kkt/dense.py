@@ -86,6 +86,11 @@ class DenseKKT:
 
             sm = "trisolve" if _jax.default_backend() == "cpu" else "inverse"
         self.solve_mode = sm
+        # optional NamedSharding for single-problem tensor parallelism of
+        # the dense KKT factorization (MadNLPSolver(kkt_sharding=...)):
+        # the factor carry is mesh-constrained and GSPMD partitions the
+        # trailing GEMMs / inserts panel collectives (ops/ldlt.py)
+        self.dense_sharding = None
 
     def _factorize_matrix(self, K, d_analytic=None, split=None, rr=False):
         """Factorize with a symmetric conditioning scaling D K D (congruence
@@ -124,6 +129,7 @@ class DenseKKT:
             gamma=gamma, cg_tol=self.opts.hykkt_cg_tol,
             cg_maxiter=self.opts.hykkt_cg_maxiter,
             hykkt_backend=self._hykkt_backend(),
+            sharding=self.dense_sharding,
         )
         return EquilibratedFactor(inner=inner, d=d)
 

@@ -224,6 +224,7 @@ class SparseKKT(DenseKKT):
         # backend: fused streaming Pallas kernels on TPU (band in HBM,
         # rolling bw+1-column window in VMEM); backend choice was resolved
         # jointly with the block size above
+        self.banded_backend_resolved = backend
         if backend in ("pallas", "pallas_interpret"):
             import functools
 

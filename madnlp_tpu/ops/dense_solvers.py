@@ -351,7 +351,7 @@ def factorize(
     K: jax.Array, solver: LinearSolver, block: int = 64,
     solve_mode: str = "trisolve", split: int = None, rr: bool = False,
     gamma: float = 1e4, cg_tol: float = 1e-8, cg_maxiter: int = 200,
-    hykkt_backend: str = "native",
+    hykkt_backend: str = "native", sharding=None,
 ) -> DenseFactor:
     """``solve_mode="inverse"`` additionally inverts the triangular factor
     at factorization time (one matrix triangular-solve — GEMM-shaped), so
@@ -369,7 +369,7 @@ def factorize(
     if solver == LinearSolver.BLOCK_CHOLESKY:
         return _bchol_factorize(K, n, split, solve_mode)
     if solver == LinearSolver.LDL:
-        f = _ldlt.ldlt_factorize(K, block=block)
+        f = _ldlt.ldlt_factorize(K, block=block, sharding=sharding)
         if solve_mode == "inverse":
             Linv = solve_triangular(
                 f.L, jnp.eye(f.L.shape[0], dtype=K.dtype), lower=True,

@@ -62,7 +62,8 @@ def _ldlt_unblocked(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return L + jnp.eye(b, dtype=A.dtype), d
 
 
-def ldlt_factorize(A: jax.Array, block: int = 64) -> LDLFactor:
+def ldlt_factorize(A: jax.Array, block: int = 64,
+                   sharding=None) -> LDLFactor:
     """Factorize symmetric ``A = L D Lᵀ`` (full matrix input, no pivoting).
 
     Right-looking and blocked, but *rolled*: one ``lax.fori_loop`` over
@@ -72,7 +73,18 @@ def ldlt_factorize(A: jax.Array, block: int = 64) -> LDLFactor:
     at N≈6000) and keeps every O(N³) operation MXU-shaped: the trailing
     update is an (N, b) × (b, N) GEMM per step with rows masked instead of
     sliced, trading ≈3× redundant FLOPs — the cheap currency on TPU — for
-    static shapes and a short program."""
+    static shapes and a short program.
+
+    ``sharding``: optional ``NamedSharding`` (e.g. ``P("kkt", None)`` —
+    rows over a mesh axis) for SINGLE-PROBLEM tensor parallelism of one
+    large KKT factorization.  The distributed algorithm is the GSPMD
+    recipe, not hand-written collectives: the carry (trailing matrix and
+    factor) is constrained to the mesh, so each device executes the rows
+    of the (N, b)×(b, N) trailing GEMM it owns, and XLA inserts the
+    per-panel collectives (the b-wide panel all-gather — the ScaLAPACK
+    broadcast — and the small b×b diagonal-block gather) automatically.
+    The reference has no analogue (one device owns the whole KKT,
+    SURVEY.md §2.5 'tensor parallel: none')."""
     n = A.shape[0]
     nb = max(1, -(-n // block))
     np_ = nb * block
@@ -90,8 +102,16 @@ def ldlt_factorize(A: jax.Array, block: int = 64) -> LDLFactor:
     eye_b = jnp.eye(block, dtype=A.dtype)
     rows = jnp.arange(np_)
 
+    def _shard(x):
+        if sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    A = _shard(A)
+
     def body(k, carry):
         Awork, L, d = carry
+        Awork, L = _shard(Awork), _shard(L)
         kb = k * block
         Akk = jax.lax.dynamic_slice(Awork, (kb, kb), (block, block))
         Lkk, dk = _ldlt_unblocked(Akk)
@@ -114,7 +134,7 @@ def ldlt_factorize(A: jax.Array, block: int = 64) -> LDLFactor:
         d = jax.lax.dynamic_update_slice(d, dk, (kb,))
         return Awork, L, d
 
-    L0 = jnp.zeros((np_, np_), dtype=A.dtype)
+    L0 = _shard(jnp.zeros((np_, np_), dtype=A.dtype))
     d0 = jnp.zeros((np_,), dtype=A.dtype)
     _, L, d = jax.lax.fori_loop(0, nb, body, (A, L0, d0))
     return LDLFactor(L=L, d=d, n=n)

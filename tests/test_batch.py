@@ -107,3 +107,35 @@ def test_parametric_matpower_case57():
     one = par.solve(params=jnp.ones(()))
     assert one.iter == ref.iter
     assert one.objective == pytest.approx(ref.objective, rel=1e-9)
+
+
+def test_batch_swaps_pallas_backend_for_vmap():
+    """`solve_batch` must never vmap a Pallas streaming kernel — Mosaic
+    rejects batched ANY-space block specs (the BENCH-probe nb600 crash,
+    round 5).  A solver whose single-solve path resolved to a pallas
+    backend gets a batch kernel clone on the XLA band loop; results keep
+    parity with single solves."""
+    import jax.numpy as jnp
+
+    from madnlp_tpu import LinearSolver, MadNLPSolver, Status
+    from madnlp_tpu.ipm.solver import batch_summary
+    from madnlp_tpu.models.instances import opf
+
+    s = MadNLPSolver(
+        opf.build_sparse(nb=48, seed=0, parametric=True), dtype="float32",
+        linear_solver=LinearSolver.BANDED,
+        banded_backend="pallas_interpret",
+    )
+    kb = s._batch_kernel()
+    assert kb is not s.kernel
+    assert kb.kkt.banded_backend_resolved == "xla"
+    summ = batch_summary(
+        s.prob, s.solve_batch(jnp.linspace(0.95, 1.05, 4))
+    )
+    assert (summ["status"] == int(Status.SOLVE_SUCCEEDED)).all()
+    # an xla-resolved solver keeps its own kernel (no pointless clone)
+    s2 = MadNLPSolver(
+        opf.build_sparse(nb=48, seed=0, parametric=True), dtype="float32",
+        linear_solver=LinearSolver.BANDED, banded_backend="xla",
+    )
+    assert s2._batch_kernel() is s2.kernel
