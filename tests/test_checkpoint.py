@@ -33,6 +33,35 @@ def test_checkpoint_resume(tmp_path):
     assert stats.iter == ref.iter  # identical trajectory across the resume
 
 
+def test_checkpoint_cross_config_ctx_layout(tmp_path):
+    """A state saved under the monotone barrier (scalar-stub ctx,
+    ipm/step.py persist_context) must load into an adaptive-barrier
+    solver's template (full ctx payload) and vice versa: the ctx leaves
+    are recomputed at the next factorization, so load_state keeps the
+    template's value when shapes differ (ADVICE r4 regression)."""
+    from madnlp_tpu.utils.options import BarrierUpdate
+
+    solver = MadNLPSolver(dummy_qp.build(20, 5))  # monotone default
+    st = solver._init_fn()
+    for _ in range(2):
+        st = solver._regular(st)
+    path = str(tmp_path / "ckpt_mono")
+    save_state(st, path)
+
+    adaptive = MadNLPSolver(
+        dummy_qp.build(20, 5), barrier=BarrierUpdate.QUALITY_FUNCTION
+    )
+    st2 = load_state(path, adaptive._init_fn())
+    np.testing.assert_array_equal(np.asarray(st2.x), np.asarray(st.x))
+    # and the reverse direction: full payload saved, stub template
+    path2 = str(tmp_path / "ckpt_adap")
+    sta = adaptive._init_fn()
+    sta = adaptive._regular(sta)
+    save_state(sta, path2)
+    st3 = load_state(path2, solver._init_fn())
+    np.testing.assert_array_equal(np.asarray(st3.x), np.asarray(sta.x))
+
+
 def test_gmres_iterator_matches():
     from madnlp_tpu import madnlp
 
