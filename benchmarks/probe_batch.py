@@ -58,9 +58,18 @@ def run_spec(spec, batches=(1, 4, 16, 64)):
             modes.append(("chunk16_sorted",
                           dict(chunk_size=16, probe_iters=3)))
         for label, kw in modes:
-            t0 = time.time()
-            st = solver.solve_batch(scales, **kw)   # compile + warm
-            compile_s = time.time() - t0
+            try:
+                t0 = time.time()
+                st = solver.solve_batch(scales, **kw)   # compile + warm
+                compile_s = time.time() - t0
+            except Exception as e:  # noqa: BLE001 — one faulting config
+                # must not lose the finished rows (B=64 nb600 faulted the
+                # device in round 5; containment mirrors bench.py)
+                print(json.dumps({
+                    "spec": spec, "B": B, "mode": label,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }), flush=True)
+                continue
             walls = []
             for _ in range(3):
                 t0 = time.time()

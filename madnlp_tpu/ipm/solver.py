@@ -486,11 +486,41 @@ class MadNLPSolver:
         Returns the final batched :class:`State` in the original instance
         order; summary arrays via :func:`batch_summary`."""
         kern = self._batch_kernel()
-        if kern is self.kernel:
-            whole = self._build_solve_jit()
-            cond, body = self._loop_cond, self._loop_body
-        else:
-            cond, body, whole = self._make_loop(kern)
+        cond, body, _ = self._make_loop(kern)
+
+        def batched_step(st):
+            """One masked step of the batched state machine.  NOT
+            ``vmap(body)``: vmapping ``lax.switch`` executes all three
+            phase branches (regular/restore/robust) for every lane every
+            iteration — measured 3× the per-lane cost at nb=600 on chip.
+            The phase decision is lifted to a SCALAR any-lane-in-
+            restoration predicate, so the common path runs only
+            ``regular_step`` (a scalar-predicate ``lax.cond`` executes
+            one branch); batches that do enter restoration pay the full
+            switch only while a lane needs it."""
+            special = jnp.any(
+                (st.status == _i32(Status.RESTORE))
+                | (st.status == _i32(Status.ROBUST))
+            )
+            new = jax.lax.cond(
+                special,
+                jax.vmap(body),
+                jax.vmap(kern.regular_step),
+                st,
+            )
+            active = jax.vmap(cond)(st)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                new, st,
+            )
+
+        def whole_batched(pb):
+            st = jax.vmap(kern.initialize)(pb)
+            return jax.lax.while_loop(
+                lambda s: jnp.any(jax.vmap(cond)(s)), batched_step, st
+            )
         B = jax.tree_util.tree_leaves(params_batch)[0].shape[0]
         if chunk_size == "auto":
             if sharding is not None or B <= 16:
@@ -505,7 +535,7 @@ class MadNLPSolver:
             params_batch = jax.device_put(params_batch, sharding)
         if chunk_size is None:
             if self._solve_batch_jit is None:
-                self._solve_batch_jit = jax.jit(jax.vmap(whole))
+                self._solve_batch_jit = jax.jit(whole_batched)
             fn = self._solve_batch_jit
         else:
             assert B % chunk_size == 0, (
@@ -516,20 +546,12 @@ class MadNLPSolver:
                 self._solve_batch_chunked = {}
             if key not in self._solve_batch_chunked:
 
-                def masked_step(_, st):
-                    active = jax.vmap(cond)(st)
-                    new = jax.vmap(body)(st)
-                    return jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(
-                            active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-                        ),
-                        new, st,
-                    )
-
                 def chunked(pb):
                     st = jax.vmap(kern.initialize)(pb)
                     if probe_iters:
-                        st = jax.lax.fori_loop(0, probe_iters, masked_step, st)
+                        st = jax.lax.fori_loop(
+                            0, probe_iters, lambda _, s: batched_step(s), st
+                        )
                         score = st.inf_pr + st.inf_du + st.inf_compl + st.mu
                         order = jnp.argsort(score)
                         st = jax.tree_util.tree_map(lambda a: a[order], st)
@@ -538,8 +560,10 @@ class MadNLPSolver:
                         lambda a: a.reshape(
                             (B // chunk_size, chunk_size) + a.shape[1:]), st)
                     st = jax.lax.map(
-                        jax.vmap(
-                            lambda s: jax.lax.while_loop(cond, body, s)),
+                        lambda s: jax.lax.while_loop(
+                            lambda t: jnp.any(jax.vmap(cond)(t)),
+                            batched_step, s,
+                        ),
                         st)
                     # explicit product (a "-1" reshape fails on 0-size leaves)
                     st = jax.tree_util.tree_map(
