@@ -71,9 +71,12 @@ def run_spec(spec, batches=(1, 4, 16, 64)):
                 }), flush=True)
                 continue
             walls = []
-            for _ in range(3):
+            for r in range(3):
+                # perturb per repeat: the axon tunnel backend memoizes
+                # identical (executable, args) dispatches — round-5 v2
+                # probe measured 0.0 s walls for repeated identical calls
                 t0 = time.time()
-                st = solver.solve_batch(scales, **kw)
+                st = solver.solve_batch(scales + 1e-12 * (r + 1), **kw)
                 walls.append(time.time() - t0)
             walls.sort()
             wall = walls[len(walls) // 2]

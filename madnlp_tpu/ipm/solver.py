@@ -435,24 +435,6 @@ class MadNLPSolver:
             self._solve_jit = jax.jit(whole)
         return self._whole_fn
 
-    def _batch_kernel(self):
-        """Kernel for vmapped batch solves: identical configuration except
-        a Pallas banded backend is swapped for the XLA band loop —
-        ``pallas_call`` kernels with ANY-space HBM refs cannot be vmapped
-        (Mosaic requires whole-array blocks with trivial index maps under
-        a batch grid dimension), while the XLA ``fori_loop`` backend
-        batches naturally into (B, …) GEMMs that fill the MXU better
-        anyway (the cuDSS-ubatch analogue, cudss.jl:139-148)."""
-        kkt = self.kernel.kkt
-        resolved = str(getattr(kkt, "banded_backend_resolved", ""))
-        if not (getattr(kkt, "banded", False)
-                and resolved.startswith("pallas")):
-            return self.kernel
-        if getattr(self, "_kernel_batch", None) is None:
-            opts2 = dataclasses.replace(self.opts, banded_backend="xla")
-            kkt2 = type(kkt)(self.prob, opts2)
-            self._kernel_batch = Kernel(self.prob, opts2, kkt=kkt2)
-        return self._kernel_batch
 
     def solve_batch(self, params_batch, sharding=None, chunk_size="auto",
                     probe_iters="auto"):
@@ -485,7 +467,11 @@ class MadNLPSolver:
 
         Returns the final batched :class:`State` in the original instance
         order; summary arrays via :func:`batch_summary`."""
-        kern = self._batch_kernel()
+        # the streaming Pallas band kernels are vmap-compatible through
+        # their batch-grid custom_vmap rules (ops/pallas_banded_stream.py
+        # _factorize_cv/_solve_cv) — naive vmap of a pallas_call with
+        # ANY-space refs is rejected by Mosaic outright
+        kern = self.kernel
         cond, body, _ = self._make_loop(kern)
 
         def batched_step(st):

@@ -120,7 +120,7 @@ def stream_fits_vmem(b: int, bw: int, nbp: int = 0, itemsize: int = 4) -> bool:
 
 def _stream_factorize_kernel(
     band_hbm, out_hbm, invl_hbm, d_ref, win, invl_s, sem_r, sem_w,
-    *, nb, b, bw, panel
+    *, nb, b, bw, panel, batched=False
 ):
     """Round-3: fully PIPELINED column DMAs over ``bw+2`` rotating slots
     (round 2 used ``bw+1`` slots with synchronous load + writeback per
@@ -151,10 +151,29 @@ def _stream_factorize_kernel(
     nslots = bw + 2
     ngroups = -(-nb // nslots)
     pad_col = jnp.int32(nb + bw - 1)     # padding column: garbage sink
+    # batch-grid mode (custom_vmap): one grid step per batch element
+    # (sequential on the TensorCore — throughput comes from the kernel
+    # itself, not lane parallelism); HBM refs are whole stacked arrays
+    # (the ANY-space rule) indexed by a per-step row offset, the VMEM d
+    # output is grid-blocked per element
+    if batched:
+        pid = pl.program_id(0)
+        boff_band = pid * jnp.int32((nb + bw) * stride)
+        boff_invl = pid * jnp.int32((nb + bw) * b)
+
+        def dstore(sl, val):
+            d_ref[0, sl, :] = val
+    else:
+        boff_band = jnp.int32(0)
+        boff_invl = jnp.int32(0)
+
+        def dstore(sl, val):
+            d_ref[sl, :] = val
+
     # tail rows (columns nb..nb+bw-1 are band padding, never factored):
     # a STATIC disjoint write — the per-column rows below are written
     # exactly once each, so no dynamic-offset write-after-write exists
-    d_ref[nb:, :] = jnp.ones((bw, b), d_ref.dtype)
+    dstore(slice(nb, None), jnp.ones((bw, b), d_ref.dtype))
     tri = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) > (
         jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
     )
@@ -170,14 +189,16 @@ def _stream_factorize_kernel(
         # col is traced (HBM offsets may be dynamic — DMA engines handle
         # that); s is a PYTHON int so the VMEM-side offset is static.
         pltpu.make_async_copy(
-            band_hbm.at[pl.ds(clamp(col) * jnp.int32(stride), stride), :],
+            band_hbm.at[
+                pl.ds(boff_band + clamp(col) * jnp.int32(stride), stride), :
+            ],
             win.at[pl.ds(s * stride, stride), :],
             sem_r.at[_i(s)],
         ).start()
 
     def wait_r(s):
         pltpu.make_async_copy(
-            band_hbm.at[pl.ds(0, stride), :],
+            band_hbm.at[pl.ds(boff_band, stride), :],
             win.at[pl.ds(s * stride, stride), :],
             sem_r.at[_i(s)],
         ).wait()
@@ -185,24 +206,26 @@ def _stream_factorize_kernel(
     def start_w(col, s):
         pltpu.make_async_copy(
             win.at[pl.ds(s * stride, stride), :],
-            out_hbm.at[pl.ds(clamp(col) * jnp.int32(stride), stride), :],
+            out_hbm.at[
+                pl.ds(boff_band + clamp(col) * jnp.int32(stride), stride), :
+            ],
             sem_w.at[_i(s), _i(0)],
         ).start()
         pltpu.make_async_copy(
             invl_s.at[_i(s)],
-            invl_hbm.at[pl.ds(clamp(col) * jnp.int32(b), b), :],
+            invl_hbm.at[pl.ds(boff_invl + clamp(col) * jnp.int32(b), b), :],
             sem_w.at[_i(s), _i(1)],
         ).start()
 
     def wait_w(s):
         pltpu.make_async_copy(
             win.at[pl.ds(s * stride, stride), :],
-            out_hbm.at[pl.ds(0, stride), :],
+            out_hbm.at[pl.ds(boff_band, stride), :],
             sem_w.at[_i(s), _i(0)],
         ).wait()
         pltpu.make_async_copy(
             invl_s.at[_i(s)],
-            invl_hbm.at[pl.ds(0, b), :],
+            invl_hbm.at[pl.ds(boff_invl, b), :],
             sem_w.at[_i(s), _i(1)],
         ).wait()
 
@@ -273,7 +296,7 @@ def _stream_factorize_kernel(
                 win[srow : srow + b, :] = diag_part
                 win[srow + b : srow + stride, :] = Lcol
                 invl_s[s, :, :] = invLkk
-                d_ref[pl.ds(col, 1), :] = dk_row
+                dstore(pl.ds(col, 1), dk_row)
 
             start_w(col, s)              # waited at column col+1
 
@@ -317,17 +340,93 @@ def _stream_factorize_call(band2d, nb, b, bw, interpret=False, panel=32):
     return out, invl, d
 
 
+@functools.partial(
+    jax.jit, static_argnames=("B", "nb", "b", "bw", "interpret", "panel"))
+def _stream_factorize_call_batched(
+    band3d, B, nb, b, bw, interpret=False, panel=32
+):
+    """Batch-grid variant: grid=(B,), one sequential grid step per batch
+    element (TPU grid steps share the TensorCore), HBM refs are the
+    stacked whole arrays (the ANY-space whole-array rule) offset by
+    ``program_id`` inside the kernel, the VMEM ``d`` output is
+    grid-blocked.  This is how the streaming kernels stay usable under
+    ``jax.vmap`` (see `_factorize_cv`): Mosaic rejects vmap's batched
+    block specs on ANY-space refs outright."""
+    nbp = nb + bw
+    stride = (bw + 1) * b
+    band2d = band3d.reshape(B * nbp * stride, b)
+    out, invl, d = pl.pallas_call(
+        functools.partial(
+            _stream_factorize_kernel, nb=nb, b=b, bw=bw, panel=panel,
+            batched=True),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct(band2d.shape, band2d.dtype),
+            jax.ShapeDtypeStruct((B * nbp * b, b), band2d.dtype),
+            jax.ShapeDtypeStruct((B, nbp, b), band2d.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, nbp, b), lambda i: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((bw + 2) * stride, b), band2d.dtype),
+            pltpu.VMEM((bw + 2, b, b), band2d.dtype),
+            pltpu.SemaphoreType.DMA((bw + 2,)),
+            pltpu.SemaphoreType.DMA((bw + 2, 2)),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(band2d)
+    return (
+        out.reshape(B, nbp * stride, b),
+        invl.reshape(B, nbp * b, b),
+        d,  # (B, nbp, b) — per-element shape matches the unbatched call
+    )
+
+
+_factorize_cv_cache = {}
+
+
+def _factorize_cv(nb, b, bw, interpret, panel):
+    """`custom_vmap`-wrapped `_stream_factorize_call` (cached per static
+    geometry): maps `jax.vmap` onto the batch-grid kernel so the whole
+    vmapped solver (`solve_batch`) keeps the streaming Pallas backend."""
+    key = (nb, b, bw, interpret, panel)
+    if key not in _factorize_cv_cache:
+
+        @jax.custom_batching.custom_vmap
+        def fac(band2d):
+            return _stream_factorize_call(
+                band2d, nb, b, bw, interpret=interpret, panel=panel)
+
+        @fac.def_vmap
+        def _rule(axis_size, in_batched, band3d):
+            if not in_batched[0]:
+                band3d = jnp.broadcast_to(
+                    band3d[None], (axis_size,) + band3d.shape)
+            out = _stream_factorize_call_batched(
+                band3d, axis_size, nb, b, bw, interpret=interpret,
+                panel=panel)
+            return out, (True, True, True)
+
+        _factorize_cv_cache[key] = fac
+    return _factorize_cv_cache[key]
+
+
 def pallas_banded_factorize_stream(
     struct: BandStructure, band: jax.Array, interpret: bool = False,
     panel: int = 32,
 ) -> BandedFactor:
     """Streaming drop-in for ``banded.banded_factorize``.  ``panel`` is the
     corner width of the panel-blocked diagonal factorization
-    (pallas_banded._ldlt_with_inverse); 0 selects the scalar fallback."""
+    (pallas_banded._ldlt_with_inverse); 0 selects the scalar fallback.
+    vmap-compatible via the batch-grid custom_vmap rule."""
     nb, b, bw, nbp = struct.nb, struct.b, struct.bw, struct.nbp
     band2d = band.reshape(nbp * (bw + 1) * b, b)
-    out, invl, d = _stream_factorize_call(
-        band2d, nb, b, bw, interpret=interpret, panel=panel)
+    out, invl, d = _factorize_cv(nb, b, bw, interpret, panel)(band2d)
     return BandedFactor(
         band=out.reshape(nbp, bw + 1, b, b),
         invL=invl.reshape(nbp, b, b),
@@ -337,7 +436,7 @@ def pallas_banded_factorize_stream(
 
 def _stream_solve_kernel(
     band_hbm, invl_hbm, rhs_ref, out_ref, zbuf, colbuf, invbuf, sem,
-    *, nb, b, bw, k
+    *, nb, b, bw, k, batched=False
 ):
     """Transposed-RHS layout: the solution lives in VMEM as (k, N) — k on
     SUBLANES, N on lanes — so a multi-RHS solve costs k/8 of a sublane
@@ -363,6 +462,28 @@ def _stream_solve_kernel(
     step, one wait per step + 2 drains per sweep."""
     stride = (bw + 1) * b
     ngroups = -(-nb // 2)
+    # batch-grid mode: see `_stream_factorize_kernel` — ANY-space factor
+    # arrays offset by program_id, VMEM rhs/out grid-blocked per element
+    if batched:
+        pid = pl.program_id(0)
+        boff_band = pid * jnp.int32((nb + bw) * stride)
+        boff_invl = pid * jnp.int32((nb + bw) * b)
+
+        def rload(cols):
+            return rhs_ref[0, :, cols]
+
+        def ostore(cols, val):
+            out_ref[0, :, cols] = val
+    else:
+        boff_band = jnp.int32(0)
+        boff_invl = jnp.int32(0)
+
+        def rload(cols):
+            return rhs_ref[:, cols]
+
+        def ostore(cols, val):
+            out_ref[:, cols] = val
+
     eye_b = (
         jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
@@ -374,20 +495,22 @@ def _stream_solve_kernel(
     def start_load(col, s):
         col = clamp(col)
         pltpu.make_async_copy(
-            band_hbm.at[pl.ds(col * jnp.int32(stride), stride), :],
+            band_hbm.at[pl.ds(boff_band + col * jnp.int32(stride), stride), :],
             colbuf.at[_i(s)], sem.at[_i(s), _i(0)],
         ).start()
         pltpu.make_async_copy(
-            invl_hbm.at[pl.ds(col * jnp.int32(b), b), :],
+            invl_hbm.at[pl.ds(boff_invl + col * jnp.int32(b), b), :],
             invbuf.at[_i(s)], sem.at[_i(s), _i(1)],
         ).start()
 
     def wait_load(s):
         pltpu.make_async_copy(
-            band_hbm.at[pl.ds(0, stride), :], colbuf.at[_i(s)], sem.at[_i(s), _i(0)]
+            band_hbm.at[pl.ds(boff_band, stride), :], colbuf.at[_i(s)],
+            sem.at[_i(s), _i(0)],
         ).wait()
         pltpu.make_async_copy(
-            invl_hbm.at[pl.ds(0, b), :], invbuf.at[_i(s)], sem.at[_i(s), _i(1)]
+            invl_hbm.at[pl.ds(boff_invl, b), :], invbuf.at[_i(s)],
+            sem.at[_i(s), _i(1)],
         ).wait()
 
     def diag_div(s):
@@ -423,12 +546,12 @@ def _stream_solve_kernel(
             start_load(j + jnp.int32(2), s)  # slot consumed — re-issue
             # shift in the rhs of column j+bw+1 (clamped: the final
             # iterations' shifted-in lanes are never consumed)
-            nxt = rhs_ref[:, pl.ds(clamp(j + jnp.int32(bw + 1))
-                                   * jnp.int32(b), b)]
+            nxt = rload(pl.ds(clamp(j + jnp.int32(bw + 1))
+                              * jnp.int32(b), b))
             W = jnp.concatenate([rest, nxt], axis=1)
         return W
 
-    W0 = rhs_ref[:, 0:stride]
+    W0 = rload(slice(0, stride))
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), fwd_group, W0)
     wait_load(0)                             # drain the two overhang loads
     wait_load(1)
@@ -449,7 +572,7 @@ def _stream_solve_kernel(
 
             @pl.when(j >= jnp.int32(0))
             def _(j=j, xj=xj):
-                out_ref[:, pl.ds(j * jnp.int32(b), b)] = xj
+                ostore(pl.ds(j * jnp.int32(b), b), xj)
 
             start_load(j - jnp.int32(2), s)
             if bw > 1:
@@ -465,7 +588,7 @@ def _stream_solve_kernel(
 
     # the padding lanes (columns nb..nb+bw-1) are never written above and
     # never read by the host slice; zero them once, statically
-    out_ref[:, nb * b :] = jnp.zeros((k, bw * b), rhs_ref.dtype)
+    ostore(slice(nb * b, None), jnp.zeros((k, bw * b), rhs_ref.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "b", "bw", "k", "interpret"))
@@ -490,11 +613,73 @@ def _stream_solve_call(band2d, invl2d, rhs_t, nb, b, bw, k, interpret=False):
     )(band2d, invl2d, rhs_t)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("B", "nb", "b", "bw", "k", "interpret"))
+def _stream_solve_call_batched(
+    band3d, invl3d, rhs_t, B, nb, b, bw, k, interpret=False
+):
+    """Batch-grid solve: see `_stream_factorize_call_batched`."""
+    nbp = nb + bw
+    stride = (bw + 1) * b
+    band2d = band3d.reshape(B * nbp * stride, b)
+    invl2d = invl3d.reshape(B * nbp * b, b)
+    out = pl.pallas_call(
+        functools.partial(
+            _stream_solve_kernel, nb=nb, b=b, bw=bw, k=k, batched=True),
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct(rhs_t.shape, rhs_t.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, k, nbp * b), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, nbp * b), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((k, nbp * b), rhs_t.dtype),
+            pltpu.VMEM((2, stride, b), rhs_t.dtype),
+            pltpu.VMEM((2, b, b), rhs_t.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(band2d, invl2d, rhs_t)
+    return out
+
+
+_solve_cv_cache = {}
+
+
+def _solve_cv(nb, b, bw, kp, interpret):
+    """`custom_vmap`-wrapped `_stream_solve_call` (cached per geometry)."""
+    key = (nb, b, bw, kp, interpret)
+    if key not in _solve_cv_cache:
+
+        @jax.custom_batching.custom_vmap
+        def sol(band2d, invl2d, work):
+            return _stream_solve_call(
+                band2d, invl2d, work, nb, b, bw, kp, interpret=interpret)
+
+        @sol.def_vmap
+        def _rule(axis_size, in_batched, band3d, invl3d, work3d):
+            ins = [band3d, invl3d, work3d]
+            for i, batched in enumerate(in_batched):
+                if not batched:
+                    ins[i] = jnp.broadcast_to(
+                        ins[i][None], (axis_size,) + ins[i].shape)
+            out = _stream_solve_call_batched(
+                ins[0], ins[1], ins[2], axis_size, nb, b, bw, kp,
+                interpret=interpret)
+            return out, True
+
+        _solve_cv_cache[key] = sol
+    return _solve_cv_cache[key]
+
+
 def pallas_banded_solve_stream(
     struct: BandStructure, f: BandedFactor, rhs: jax.Array,
     interpret: bool = False,
 ):
-    """Streaming drop-in for ``banded.banded_solve`` (permuted rhs)."""
+    """Streaming drop-in for ``banded.banded_solve`` (permuted rhs).
+    vmap-compatible via the batch-grid custom_vmap rule."""
     nb, b, bw, nbp, N = struct.nb, struct.b, struct.bw, struct.nbp, struct.N
     squeeze = rhs.ndim == 1
     r = rhs[:, None] if squeeze else rhs
@@ -503,8 +688,6 @@ def pallas_banded_solve_stream(
     work = jnp.zeros((kp, nbp * b), r.dtype).at[:k, :N].set(r.T)
     band2d = f.band.reshape(nbp * (bw + 1) * b, b)
     invl2d = f.invL.reshape(nbp * b, b)
-    out = _stream_solve_call(
-        band2d, invl2d, work, nb, b, bw, kp, interpret=interpret
-    )
+    out = _solve_cv(nb, b, bw, kp, interpret)(band2d, invl2d, work)
     x = out[:k, :N].T
     return x[:, 0] if squeeze else x

@@ -143,3 +143,62 @@ def test_pallas_banded_kernels_match_xla():
     assert s.status == Status.SOLVE_SUCCEEDED
     assert s.iter == ref.iter
     np.testing.assert_allclose(s.solution, ref.solution, atol=1e-9)
+
+
+def test_pallas_stream_batch_grid_matches_per_element():
+    """The batch-grid custom_vmap rule of the streaming kernels
+    (interpret mode): vmap(factorize/solve) over a stacked batch must
+    reproduce the per-element results exactly."""
+    import jax
+
+    from madnlp_tpu.ops import pallas_banded_stream as pb
+    from madnlp_tpu.ops.banded import BandStructure
+
+    rng = np.random.default_rng(3)
+    N, b = 96, 32
+    diag = np.arange(N)
+    off = np.arange(N - 20)
+    rows = np.concatenate([diag, off + 20])
+    cols = np.concatenate([diag, off])
+    struct = BandStructure(rows, cols, N, block=b)
+    B = 3
+    bands = []
+    for i in range(B):
+        vals = np.concatenate([
+            np.full(N, 50.0 + i),                  # diagonally dominant
+            rng.standard_normal(N - 20),
+        ])
+        idx = struct.map(rows, cols)
+        bands.append(struct.assemble(jnp.asarray(idx), jnp.asarray(vals),
+                                     jnp.float64))
+    stack = jnp.stack(bands)
+
+    fac_one = [pb.pallas_banded_factorize_stream(struct, bd, interpret=True)
+               for bd in bands]
+    fac_bat = jax.vmap(
+        lambda bd: pb.pallas_banded_factorize_stream(struct, bd,
+                                                     interpret=True)
+    )(stack)
+    nb = struct.nb
+    for i in range(B):
+        # compare REAL columns only: blocks nb..nbp-1 are band padding —
+        # overhang steps write garbage there by design (kernel docstring)
+        # and nothing ever reads them
+        np.testing.assert_array_equal(np.asarray(fac_bat.band[i][:nb]),
+                                      np.asarray(fac_one[i].band[:nb]))
+        np.testing.assert_array_equal(np.asarray(fac_bat.invL[i][:nb]),
+                                      np.asarray(fac_one[i].invL[:nb]))
+        np.testing.assert_array_equal(np.asarray(fac_bat.d[i]),
+                                      np.asarray(fac_one[i].d))
+
+    rhs = jnp.asarray(rng.standard_normal((B, N)))
+    x_one = [pb.pallas_banded_solve_stream(struct, fac_one[i], rhs[i],
+                                           interpret=True)
+             for i in range(B)]
+    x_bat = jax.vmap(
+        lambda f, r: pb.pallas_banded_solve_stream(struct, f, r,
+                                                   interpret=True)
+    )(fac_bat, rhs)
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(x_bat[i]),
+                                      np.asarray(x_one[i]))

@@ -109,13 +109,15 @@ def test_parametric_matpower_case57():
     assert one.objective == pytest.approx(ref.objective, rel=1e-9)
 
 
-def test_batch_swaps_pallas_backend_for_vmap():
-    """`solve_batch` must never vmap a Pallas streaming kernel — Mosaic
-    rejects batched ANY-space block specs (the BENCH-probe nb600 crash,
-    round 5).  A solver whose single-solve path resolved to a pallas
-    backend gets a batch kernel clone on the XLA band loop; results keep
-    parity with single solves."""
+def test_batch_vmaps_pallas_backend_via_batch_grid():
+    """`solve_batch` over a Pallas-banded solver: naive vmap of a
+    pallas_call with ANY-space refs is rejected by Mosaic (the r5 nb600
+    probe crash), so the streaming kernels carry batch-grid custom_vmap
+    rules (ops/pallas_banded_stream.py _factorize_cv/_solve_cv).  The
+    batched solve must run the SAME pallas backend (interpret mode here)
+    and keep parity with single solves."""
     import jax.numpy as jnp
+    import numpy as np
 
     from madnlp_tpu import LinearSolver, MadNLPSolver, Status
     from madnlp_tpu.ipm.solver import batch_summary
@@ -126,16 +128,18 @@ def test_batch_swaps_pallas_backend_for_vmap():
         linear_solver=LinearSolver.BANDED,
         banded_backend="pallas_interpret",
     )
-    kb = s._batch_kernel()
-    assert kb is not s.kernel
-    assert kb.kkt.banded_backend_resolved == "xla"
-    summ = batch_summary(
-        s.prob, s.solve_batch(jnp.linspace(0.95, 1.05, 4))
-    )
+    scales = jnp.linspace(0.95, 1.05, 4)
+    summ = batch_summary(s.prob, s.solve_batch(scales))
     assert (summ["status"] == int(Status.SOLVE_SUCCEEDED)).all()
-    # an xla-resolved solver keeps its own kernel (no pointless clone)
-    s2 = MadNLPSolver(
+    ref = MadNLPSolver(
         opf.build_sparse(nb=48, seed=0, parametric=True), dtype="float32",
-        linear_solver=LinearSolver.BANDED, banded_backend="xla",
+        linear_solver=LinearSolver.BANDED,
+        banded_backend="pallas_interpret",
     )
-    assert s2._batch_kernel() is s2.kernel
+    for i in (0, 3):
+        ref.state = None
+        st = ref.solve(params=scales[i])
+        assert st.iter == int(summ["iter"][i])
+        np.testing.assert_allclose(
+            st.objective, summ["objective"][i], rtol=1e-8
+        )
