@@ -369,7 +369,9 @@ def _stream_factorize_call_batched(
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, nbp, b), lambda i: (i, 0, 0)),
+            # int32 constants: under jax x64 bare 0s trace as i64 and the
+            # mixed-width index-map tuple fails Mosaic's MLIR verifier
+            pl.BlockSpec((1, nbp, b), lambda i: (i, _i(0), _i(0))),
         ),
         scratch_shapes=[
             pltpu.VMEM(((bw + 2) * stride, b), band2d.dtype),
@@ -631,9 +633,9 @@ def _stream_solve_call_batched(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, k, nbp * b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k, nbp * b), lambda i: (i, _i(0), _i(0))),
         ],
-        out_specs=pl.BlockSpec((1, k, nbp * b), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, k, nbp * b), lambda i: (i, _i(0), _i(0))),
         scratch_shapes=[
             pltpu.VMEM((k, nbp * b), rhs_t.dtype),
             pltpu.VMEM((2, stride, b), rhs_t.dtype),
