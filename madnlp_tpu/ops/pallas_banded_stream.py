@@ -322,10 +322,10 @@ def _stream_factorize_call(band2d, nb, b, bw, interpret=False, panel=32):
             jax.ShapeDtypeStruct((nbp * b, b), band2d.dtype),
             jax.ShapeDtypeStruct((nbp, b), band2d.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -365,10 +365,10 @@ def _stream_factorize_call_batched(
             jax.ShapeDtypeStruct((B * nbp * b, b), band2d.dtype),
             jax.ShapeDtypeStruct((B, nbp, b), band2d.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             # int32 constants: under jax x64 bare 0s trace as i64 and the
             # mixed-width index-map tuple fails Mosaic's MLIR verifier
             pl.BlockSpec((1, nbp, b), lambda i: (i, _i(0), _i(0))),
@@ -600,8 +600,8 @@ def _stream_solve_call(band2d, invl2d, rhs_t, nb, b, bw, k, interpret=False):
         functools.partial(_stream_solve_kernel, nb=nb, b=b, bw=bw, k=k),
         out_shape=jax.ShapeDtypeStruct(rhs_t.shape, rhs_t.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -631,8 +631,8 @@ def _stream_solve_call_batched(
         grid=(B,),
         out_shape=jax.ShapeDtypeStruct(rhs_t.shape, rhs_t.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k, nbp * b), lambda i: (i, _i(0), _i(0))),
         ],
         out_specs=pl.BlockSpec((1, k, nbp * b), lambda i: (i, _i(0), _i(0))),
