@@ -9,8 +9,11 @@ Usage: python benchmarks/probe_b512.py [nb=5000]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
